@@ -1,0 +1,205 @@
+"""Camera: viewport math, defocus, stochastic shutter, batched ray generation.
+
+Mirrors the reference camera (src/camera/mod.rs:66-263 and
+src/camera/rendering_compute.rs:5-110) as a host-side settings object
+(:class:`Camera`) plus a jit-ready parameter pytree (:class:`CameraParams`)
+and a vectorized ray generator. Camera parameters are pytree leaves, so
+radiance is differentiable w.r.t. look-from/at, vfov, defocus and focus
+distance.
+
+Deviation: the reference's freshly-constructed camera uses focal length 1.0
+for the viewport until any setter recomputes it from ``focus_dist``
+(src/camera/mod.rs:117-121 vs rendering_compute.rs:5-11); every demo calls
+``set_vfov``, so we always use ``focus_dist`` — the post-setter behavior.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import struct
+
+from crucible_tpu.ops import sampling
+from crucible_tpu.utils import rng as crng
+from crucible_tpu.utils import vec
+
+
+@struct.dataclass
+class CameraParams:
+    """Differentiable camera parameters (all jnp scalars / 3-vectors)."""
+
+    look_from: jnp.ndarray  # (3,)
+    look_at: jnp.ndarray  # (3,)
+    vup: jnp.ndarray  # (3,)
+    vfov_rad: jnp.ndarray  # ()
+    defocus_angle_rad: jnp.ndarray  # ()
+    focus_dist: jnp.ndarray  # ()
+    frame_time: jnp.ndarray  # () = frame / frame_rate
+    shutter_length: jnp.ndarray  # () = (shutter_angle/360) / frame_rate
+
+
+def generate_rays(
+    cp: CameraParams,
+    width: int,
+    height: int,
+    pixel_ids: jnp.ndarray,
+    sample_ids: jnp.ndarray,
+    seed,
+):
+    """Generate one primary ray per (pixel, sample) pair.
+
+    Follows cast_ray (src/camera/ray_casting.rs:64-108): stochastic shutter
+    time, [-0.5,0.5)^2 pixel jitter, optional defocus-disk origin, direction
+    = pixel_pos - origin (unnormalized, as in the reference).
+
+    Args:
+      pixel_ids: (R,) int32 flat pixel index j*width + i.
+      sample_ids: (R,) int32 sample index within the pixel.
+      seed: uint32 render seed.
+
+    Returns: (origins (R,3), directions (R,3), times (R,))
+    """
+    i = (pixel_ids % width).astype(jnp.float32)
+    j = (pixel_ids // width).astype(jnp.float32)
+
+    u_t = crng.uniform1(pixel_ids, sample_ids, crng.STREAM_TIME, seed)
+    ux, uy = crng.uniform2(pixel_ids, sample_ids, crng.STREAM_PIXEL_JITTER, seed)
+    ud1, ud2 = crng.uniform2(pixel_ids, sample_ids, crng.STREAM_DEFOCUS, seed)
+
+    times = cp.frame_time + u_t * cp.shutter_length
+
+    # Camera basis (rendering_compute.rs:76-92). Static within a frame here;
+    # timeline-animated from/at (motion-blurred camera) re-evaluates these
+    # per ray at `times` — see models/timeline.py integration.
+    w = vec.unit(cp.look_from - cp.look_at, eps=1e-12)
+    u = vec.unit(jnp.cross(cp.vup, w), eps=1e-12)
+    v = jnp.cross(w, u)
+
+    h = jnp.tan(cp.vfov_rad / 2.0)
+    viewport_h = 2.0 * h * cp.focus_dist
+    viewport_w = viewport_h * (width / height)
+
+    viewport_u = viewport_w * u  # horizontal edge
+    viewport_v = viewport_h * (-v)  # vertical edge, image-down
+    du = viewport_u / width
+    dv = viewport_v / height
+    upper_left = cp.look_from - cp.focus_dist * w - viewport_u / 2.0 - viewport_v / 2.0
+    pixel00 = upper_left + 0.5 * (du + dv)
+
+    offset = sampling.square_offset(ux, uy)  # (R, 2)
+    pixel_pos = (
+        pixel00[None, :]
+        + (i + offset[:, 0])[:, None] * du[None, :]
+        + (j + offset[:, 1])[:, None] * dv[None, :]
+    )
+
+    defocus_radius = cp.focus_dist * jnp.tan(cp.defocus_angle_rad / 2.0)
+    disk = sampling.in_unit_disk(ud1, ud2)  # (R, 2)
+    defocus_origin = (
+        cp.look_from[None, :]
+        + (disk[:, 0] * defocus_radius)[:, None] * u[None, :]
+        + (disk[:, 1] * defocus_radius)[:, None] * v[None, :]
+    )
+    use_defocus = cp.defocus_angle_rad > 0.0
+    origins = jnp.where(use_defocus, defocus_origin, cp.look_from[None, :])
+    dirs = pixel_pos - origins
+    return origins, dirs, times
+
+
+@dataclass
+class Camera:
+    """Host-side camera settings, mirroring the reference's builder setters
+    (src/camera/mod.rs:187-263)."""
+
+    aspect_ratio: float = 16.0 / 9.0
+    image_width: int = 400
+    frame_rate: float = 24.0
+    shutter_angle: float = 180.0
+
+    vfov_deg: float = 90.0
+    look_from_pt: tuple = (0.0, 0.0, 0.0)
+    look_at_pt: tuple = (0.0, 0.0, -1.0)
+    vup: tuple = (0.0, 1.0, 0.0)
+    defocus_angle_deg: float = 0.0
+    focus_dist: float = 10.0
+
+    samples: int = 10
+    max_depth: int = 10
+    frame: int = 0
+
+    # Filled by the timeline animator for movie scenes (keyframed from/at).
+    from_timeline: Optional[object] = field(default=None, repr=False)
+    at_timeline: Optional[object] = field(default=None, repr=False)
+
+    @property
+    def image_height(self) -> int:
+        # Height clamped >= 1 (src/camera/mod.rs:37-38).
+        return max(1, int(self.image_width / self.aspect_ratio))
+
+    # --- reference setter surface -----------------------------------------
+    def set_samples(self, s: int) -> None:
+        assert s > 0, "samples must be positive"
+        self.samples = int(s)
+
+    def set_max_depth(self, d: int) -> None:
+        self.max_depth = int(d)
+
+    def set_vfov(self, deg: float) -> None:
+        self.vfov_deg = float(deg)
+
+    def set_hfov(self, deg: float) -> None:
+        """Convert horizontal fov to vertical (src/camera/mod.rs:218-226)."""
+        h = math.tan(math.radians(deg) / 2.0)
+        v = h * (self.image_height / self.image_width)
+        self.vfov_deg = math.degrees(2.0 * math.atan(v))
+
+    def set_defocus_angle(self, deg: float) -> None:
+        self.defocus_angle_deg = float(deg)
+
+    def set_focus_dist(self, dist: float) -> None:
+        self.focus_dist = float(dist)
+
+    def set_threads(self, _n: int) -> None:
+        """Compatibility no-op: parallelism is device-mesh sharding here, not
+        host threads (SURVEY.md §2.7 TPU plan)."""
+
+    def look_from(self, p) -> None:
+        """Set the camera position; resets any from-animation, like the
+        reference's timeline reset (src/camera/mod.rs:187-195)."""
+        self.look_from_pt = tuple(float(x) for x in p)
+        self.from_timeline = None
+
+    def look_at(self, p) -> None:
+        self.look_at_pt = tuple(float(x) for x in p)
+        self.at_timeline = None
+
+    def next_frame(self) -> None:
+        self.frame += 1
+
+    def get_res(self) -> tuple:
+        """(width, height). The reference returns (width, width) by defect
+        (src/camera/mod.rs:164-170) — not replicated."""
+        return (self.image_width, self.image_height)
+
+    # --- jit-side params ---------------------------------------------------
+    def frame_time(self) -> float:
+        return self.frame * (1.0 / self.frame_rate)
+
+    def params(self) -> CameraParams:
+        return CameraParams(
+            look_from=jnp.asarray(self.look_from_pt, jnp.float32),
+            look_at=jnp.asarray(self.look_at_pt, jnp.float32),
+            vup=jnp.asarray(self.vup, jnp.float32),
+            vfov_rad=jnp.asarray(math.radians(self.vfov_deg), jnp.float32),
+            defocus_angle_rad=jnp.asarray(
+                math.radians(self.defocus_angle_deg), jnp.float32
+            ),
+            focus_dist=jnp.asarray(self.focus_dist, jnp.float32),
+            frame_time=jnp.asarray(self.frame_time(), jnp.float32),
+            shutter_length=jnp.asarray(
+                (self.shutter_angle / 360.0) / self.frame_rate, jnp.float32
+            ),
+        )

@@ -1,0 +1,230 @@
+"""Render drivers: tiled still-image rendering and offline movie rendering.
+
+Replaces the reference's mpsc pixel-queue + worker threads + DashMap gather
+(src/camera/cpu_threading.rs, SURVEY.md §2.7) with static tiling: the flat
+pixel grid is cut into fixed-size ray wavefronts, each traced by one jitted
+call; sample batches accumulate into a float framebuffer on device. Dynamic
+load balancing has no TPU analogue — tiles are uniform work by construction.
+
+Movie rendering mirrors src/scene/mod.rs:295-330: ``ceil(duration * fps)``
+frames written as ``<fname>/artifacts/imageNNN.ppm`` then assembled with
+ffmpeg (src/scene/movie_maker.rs). Frames persist before assembly, so movie
+renders are resumable artifacts; ``skip_existing`` turns that into real
+checkpoint/resume (an extension the reference lacks, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+import subprocess
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crucible_tpu.models import integrator
+from crucible_tpu.models.camera import CameraParams
+from crucible_tpu.models.scene import Scene, SceneData
+from crucible_tpu.utils import color as color_mod
+from crucible_tpu.io.image import write_image
+
+# Rays per jitted wavefront call. (R, N_spheres) intermediates dominate
+# memory: 2^16 rays x 512 spheres x 4 B = 128 MB per buffer on TPU HBM.
+DEFAULT_RAYS_PER_PASS_TPU = 1 << 16
+DEFAULT_RAYS_PER_PASS_CPU = 1 << 13
+
+
+@partial(jax.jit, static_argnames=("width", "height", "max_depth", "samples_in_pass"))
+def _render_tile(
+    sd: SceneData,
+    cp: CameraParams,
+    pixel_ids,
+    sample_start,
+    seed,
+    *,
+    width: int,
+    height: int,
+    max_depth: int,
+    samples_in_pass: int,
+):
+    """Trace `samples_in_pass` samples for a tile of P pixels; return the
+    per-pixel radiance SUM (P, 3) for host accumulation."""
+    p = pixel_ids.shape[0]
+    pix = jnp.tile(pixel_ids, samples_in_pass)
+    smp = jnp.repeat(
+        sample_start + jnp.arange(samples_in_pass, dtype=jnp.uint32), p
+    )
+    rad = integrator.render_rays(sd, cp, width, height, pix, smp, seed, max_depth)
+    return rad.reshape(samples_in_pass, p, 3).sum(axis=0)
+
+
+def default_rays_per_pass() -> int:
+    return (
+        DEFAULT_RAYS_PER_PASS_TPU
+        if jax.default_backend() not in ("cpu",)
+        else DEFAULT_RAYS_PER_PASS_CPU
+    )
+
+
+def render_image(
+    scene: Scene,
+    samples: int | None = None,
+    max_depth: int | None = None,
+    seed: int | None = None,
+    rays_per_pass: int | None = None,
+    verbose: bool = False,
+) -> np.ndarray:
+    """Render the scene's camera view -> linear radiance (H, W, 3) float32."""
+    sd = scene.build()
+    cam = scene.scene_cam
+    return render_image_data(
+        sd,
+        cam.params(),
+        cam.image_width,
+        cam.image_height,
+        samples if samples is not None else cam.samples,
+        max_depth if max_depth is not None else cam.max_depth,
+        seed if seed is not None else scene.seed,
+        rays_per_pass,
+        verbose=verbose,
+    )
+
+
+def render_image_data(
+    sd: SceneData,
+    cp: CameraParams,
+    width: int,
+    height: int,
+    samples: int,
+    max_depth: int,
+    seed: int,
+    rays_per_pass: int | None = None,
+    verbose: bool = False,
+) -> np.ndarray:
+    rpp = rays_per_pass or default_rays_per_pass()
+    num_pixels = width * height
+    tile_pixels = max(1, min(num_pixels, rpp))
+    samples_in_pass = max(1, rpp // tile_pixels)
+    samples_in_pass = min(samples_in_pass, samples)
+    seed_arr = jnp.uint32(seed)
+
+    accum = np.zeros((num_pixels, 3), np.float32)
+    t0 = time.time()
+    n_tiles = math.ceil(num_pixels / tile_pixels)
+    for ti in range(n_tiles):
+        lo = ti * tile_pixels
+        hi = min(num_pixels, lo + tile_pixels)
+        # Fixed-size tiles keep one compiled executable: pad the tail tile.
+        ids = np.arange(lo, lo + tile_pixels, dtype=np.uint32)
+        ids = np.minimum(ids, num_pixels - 1)
+        ids_dev = jnp.asarray(ids)
+        tile_sum = np.zeros((tile_pixels, 3), np.float32)
+        s = 0
+        while s < samples:
+            sp = min(samples_in_pass, samples - s)
+            out = _render_tile(
+                sd,
+                cp,
+                ids_dev,
+                jnp.uint32(s),
+                seed_arr,
+                width=width,
+                height=height,
+                max_depth=max_depth,
+                samples_in_pass=sp,
+            )
+            tile_sum += np.asarray(out)
+            s += sp
+        accum[lo:hi] = tile_sum[: hi - lo]
+        if verbose:
+            done = hi / num_pixels
+            sys.stderr.write(
+                f"\r  render {done * 100:5.1f}%  ({time.time() - t0:6.1f}s)"
+            )
+            sys.stderr.flush()
+    if verbose:
+        sys.stderr.write("\n")
+    img = accum.reshape(height, width, 3) / np.float32(samples)
+    return img
+
+
+def to_u8(img_linear: np.ndarray) -> np.ndarray:
+    return np.asarray(color_mod.to_bytes(jnp.asarray(img_linear)))
+
+
+def render_image_to_file(scene: Scene, fname: str, verbose: bool = True) -> np.ndarray:
+    """Render and write ``<fname>`` (extension decides ppm/png; bare names get
+    .ppm like the reference CLI). Returns the linear image."""
+    img = render_image(scene, verbose=verbose)
+    path = Path(fname)
+    if not path.suffix:
+        path = path.with_suffix(".ppm")
+    path.parent.mkdir(parents=True, exist_ok=True)
+    write_image(path, to_u8(img))
+    return img
+
+
+def compute_frame_count(duration: float, fps: float) -> int:
+    """ceil(duration * fps) (src/scene/mod.rs:324-330)."""
+    return math.ceil(duration * fps)
+
+
+def render_movie(
+    scene: Scene,
+    fname: str,
+    skip_existing: bool = False,
+    verbose: bool = True,
+) -> Path:
+    """Render ``ceil(duration*fps)`` frames to ``<fname>/artifacts/`` and
+    assemble an mp4 with ffmpeg (src/scene/mod.rs:295-322)."""
+    assert scene.duration is not None, "render_movie needs a movie scene (duration set)"
+    out_dir = Path(fname)
+    artifacts = out_dir / "artifacts"
+    artifacts.mkdir(parents=True, exist_ok=True)
+
+    fps = scene.frame_rate
+    n_frames = compute_frame_count(scene.duration, fps)
+    pad = max(3, len(str(n_frames)))
+    cam = scene.scene_cam
+    cam.frame = 0
+    for fi in range(n_frames):
+        cam.frame = fi
+        frame_path = artifacts / f"image{fi:0{pad}d}.ppm"
+        if skip_existing and frame_path.exists():
+            continue
+        if verbose:
+            print(f"frame {fi + 1}/{n_frames}", file=sys.stderr)
+        img = render_image(scene, verbose=False)
+        write_image(frame_path, to_u8(img))
+    return make_mp4(artifacts, out_dir / f"{out_dir.name}.mp4", fps, pad)
+
+
+def make_mp4(artifacts: Path, out_path: Path, fps: float, pad: int) -> Path:
+    """ffmpeg assembly mirroring src/scene/movie_maker.rs:11-30."""
+    if shutil.which("ffmpeg") is None:
+        print("ffmpeg not found; frames left in", artifacts, file=sys.stderr)
+        return artifacts
+    cmd = [
+        "ffmpeg",
+        "-y",
+        "-framerate",
+        str(fps),
+        "-i",
+        str(artifacts / f"image%0{pad}d.ppm"),
+        "-vf",
+        "scale=trunc(iw/2)*2:trunc(ih/2)*2",
+        "-c:v",
+        "libx264",
+        "-pix_fmt",
+        "yuv420p",
+        "-crf",
+        "25",
+        str(out_path),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return out_path

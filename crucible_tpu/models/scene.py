@@ -1,0 +1,564 @@
+"""Scene: user-facing builder API + the jit-ready SoA ``SceneData`` pytree.
+
+Host side mirrors the reference's ``Scene`` surface (src/scene/mod.rs:75-348):
+aliased elements via an id vendor, OBJ asset loading, spherical skyboxes,
+show/hide, still/movie rendering. The build step lowers the object list into
+flat arrays — the ``Hittables``/``Materials``/``Textures`` enums of the
+reference (src/objects/mod.rs:109-153) become integer type ids + parameter
+tables, and the per-frame BVH rebuild (src/scene/mod.rs:333) becomes a
+host-side flat-BVH construction cached until the scene is mutated.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+from typing import Dict, List, Optional, Tuple, Union
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from crucible_tpu.models import materials as mat_mod
+from crucible_tpu.models import textures as tex_mod
+from crucible_tpu.models import skybox as sky_mod
+from crucible_tpu.models.camera import Camera
+from crucible_tpu.ops.bvh import FlatBVH, build_bvh
+from crucible_tpu.io.image import load_image
+from crucible_tpu.io.obj import load_obj
+
+# Brute-force triangle intersection below this count; BVH above.
+BVH_MIN_TRIS = 64
+SPHERE_PAD = 128  # pad sphere count to a lane-aligned multiple
+
+
+# --------------------------------------------------------------------------
+# Host-side texture / material specs (hashable, deduped into tables at build)
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SolidColor:
+    """src/textures/solid_color.rs"""
+
+    color: Tuple[float, float, float]
+
+
+@dataclass(frozen=True)
+class ImageTexture:
+    """src/textures/image_texture.rs — nearest-neighbor image lookup."""
+
+    filename: str
+
+
+@dataclass(frozen=True)
+class CheckerTexture:
+    """src/textures/checker_texture.rs — 3-D checker over two sub-textures.
+
+    Children must be leaf textures (SolidColor / ImageTexture); see
+    models/textures.py for the nesting-depth rationale.
+    """
+
+    scale: float
+    even: Union[SolidColor, ImageTexture]
+    odd: Union[SolidColor, ImageTexture]
+
+    @classmethod
+    def from_colors(cls, scale, c1, c2):
+        return cls(scale, SolidColor(tuple(c1)), SolidColor(tuple(c2)))
+
+
+TextureSpec = Union[SolidColor, CheckerTexture, ImageTexture]
+
+
+def _as_texture(spec_or_color) -> TextureSpec:
+    if isinstance(spec_or_color, (SolidColor, CheckerTexture, ImageTexture)):
+        return spec_or_color
+    return SolidColor(tuple(float(c) for c in spec_or_color))
+
+
+@dataclass(frozen=True)
+class Lambertian:
+    """src/materials/lambertian.rs — textured albedo + Russian-roulette
+    scatter probability (1/p compensated)."""
+
+    texture: TextureSpec
+    scatter_prob: float = 1.0
+
+    @classmethod
+    def from_color(cls, color, prob: float = 1.0):
+        return cls(SolidColor(tuple(float(c) for c in color)), prob)
+
+    @classmethod
+    def from_texture(cls, tex: TextureSpec, prob: float = 1.0):
+        return cls(tex, prob)
+
+
+@dataclass(frozen=True)
+class Metal:
+    """src/materials/metal.rs — fuzzy mirror; fuzz must be in [0, 1]."""
+
+    albedo: Tuple[float, float, float]
+    fuzz: float = 0.0
+
+    def __post_init__(self):
+        assert 0.0 <= self.fuzz <= 1.0, "A metal fuzz factor must be in [0, 1]"
+
+
+@dataclass(frozen=True)
+class Dielectric:
+    """src/materials/dielectric.rs — glass/water with Schlick reflectance."""
+
+    refraction_index: float
+
+
+@dataclass(frozen=True)
+class Emissive:
+    """Extension beyond the reference: a light-emitting material whose
+    radiance gradient is a first-class target (BASELINE.json)."""
+
+    emission: Tuple[float, float, float]
+
+
+MaterialSpec = Union[Lambertian, Metal, Dielectric, Emissive]
+
+
+# --------------------------------------------------------------------------
+# Host-side geometry elements
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class Sphere:
+    """Host-side sphere element (src/objects/sphere.rs:15-40)."""
+
+    center: Tuple[float, float, float]
+    radius: float
+    material: MaterialSpec
+    id: int = 0
+    hide: bool = False
+    timeline: Optional[object] = None  # TransformTimeline (models/timeline.py)
+
+    def __post_init__(self):
+        assert self.radius >= 0.0, "Cannot make a sphere with negative radius"
+
+
+@dataclass
+class Triangle:
+    """Host-side triangle element (src/objects/triangle.rs:8-34)."""
+
+    v0: Tuple[float, float, float]
+    v1: Tuple[float, float, float]
+    v2: Tuple[float, float, float]
+    material: MaterialSpec
+    id: int = 0
+    hide: bool = False
+    timelines: Optional[tuple] = None  # per-vertex timelines
+
+
+# --------------------------------------------------------------------------
+# Id vendor (src/scene/id_vendor.rs)
+# --------------------------------------------------------------------------
+
+CAMERA_TYPE = "camera"
+SPHERE_TYPE = "sphere"
+TRIANGLE_TYPE = "triangle"
+MESH_TYPE = "triangle_mesh"
+
+
+class IdVendor:
+    """Alias -> (id, object type); id 0 reserved for the camera
+    (src/scene/id_vendor.rs:15-49)."""
+
+    def __init__(self):
+        self._table: Dict[str, Tuple[int, str]] = {"cam": (0, CAMERA_TYPE)}
+        self._next = 1
+
+    def vend_id(self, alias: str, o_type: str) -> Optional[int]:
+        if alias in self._table:
+            return None  # collision
+        oid = self._next
+        self._next += 1
+        self._table[alias] = (oid, o_type)
+        return oid
+
+    def alias_lookup(self, alias: str) -> Optional[Tuple[int, str]]:
+        return self._table.get(alias)
+
+
+# --------------------------------------------------------------------------
+# Jit-side scene pytree
+# --------------------------------------------------------------------------
+
+
+@struct.dataclass
+class SceneData:
+    """Flat SoA scene, ready for the wavefront integrator.
+
+    Data leaves are jnp arrays (differentiable where meaningful); static
+    metadata rides as non-pytree fields so jit specializes on scene shape.
+    """
+
+    # Spheres (padded to SPHERE_PAD multiples; `sph_active` masks padding+hidden)
+    sph_center: jnp.ndarray  # (N, 3)
+    sph_radius: jnp.ndarray  # (N,)
+    sph_mat: jnp.ndarray  # (N,) int32
+    sph_active: jnp.ndarray  # (N,) bool
+
+    # Triangles (leaf order when use_bvh)
+    tri_v0: jnp.ndarray  # (M, 3)
+    tri_v1: jnp.ndarray
+    tri_v2: jnp.ndarray
+    tri_mat: jnp.ndarray  # (M,) int32
+    tri_active: jnp.ndarray  # (M,) bool
+
+    # Material table
+    mat_type: jnp.ndarray  # (L,) int32
+    mat_tex: jnp.ndarray  # (L,) int32 albedo texture id
+    mat_fuzz: jnp.ndarray  # (L,)
+    mat_ior: jnp.ndarray  # (L,)
+    mat_prob: jnp.ndarray  # (L,)
+    mat_emission: jnp.ndarray  # (L, 3)
+
+    tex: tex_mod.TextureTable
+
+    sky_image: jnp.ndarray  # (H, W, 3); dummy (1,1,3) when sky_kind == DEFAULT
+
+    # Flat BVH over triangles (dummy 1-node arrays when unused)
+    bvh_min: jnp.ndarray  # (K, 3)
+    bvh_max: jnp.ndarray
+    bvh_first: jnp.ndarray  # (K,) int32
+    bvh_count: jnp.ndarray
+    bvh_miss: jnp.ndarray
+
+    # --- static metadata ---------------------------------------------------
+    sky_kind: int = struct.field(pytree_node=False, default=sky_mod.DEFAULT)
+    num_spheres: int = struct.field(pytree_node=False, default=0)
+    num_tris: int = struct.field(pytree_node=False, default=0)
+    use_bvh: bool = struct.field(pytree_node=False, default=False)
+    bvh_leaf_size: int = struct.field(pytree_node=False, default=4)
+    animated: bool = struct.field(pytree_node=False, default=False)
+
+
+def _pad_to(n: int, mult: int) -> int:
+    return max(mult, ((n + mult - 1) // mult) * mult)
+
+
+class _TableBuilder:
+    """Dedupes material/texture specs into SoA tables."""
+
+    def __init__(self):
+        self.tex_rows: List[dict] = []
+        self.tex_ids: Dict[TextureSpec, int] = {}
+        self.images: List[np.ndarray] = []
+        self.image_ids: Dict[str, int] = {}
+        self.mat_rows: List[dict] = []
+        self.mat_ids: Dict[MaterialSpec, int] = {}
+
+    def texture(self, spec: TextureSpec) -> int:
+        if spec in self.tex_ids:
+            return self.tex_ids[spec]
+        if isinstance(spec, SolidColor):
+            row = dict(kind=tex_mod.SOLID, color=spec.color, inv_scale=1.0, even=0, odd=0, image=0)
+        elif isinstance(spec, ImageTexture):
+            if spec.filename not in self.image_ids:
+                self.image_ids[spec.filename] = len(self.images)
+                self.images.append(load_image(spec.filename))
+            row = dict(
+                kind=tex_mod.IMAGE,
+                color=(1.0, 0.0, 1.0),
+                inv_scale=1.0,
+                even=0,
+                odd=0,
+                image=self.image_ids[spec.filename],
+            )
+        elif isinstance(spec, CheckerTexture):
+            if isinstance(spec.even, CheckerTexture) or isinstance(spec.odd, CheckerTexture):
+                raise ValueError("checker children must be leaf textures (solid/image)")
+            even = self.texture(spec.even)
+            odd = self.texture(spec.odd)
+            row = dict(
+                kind=tex_mod.CHECKER,
+                color=(0.0, 0.0, 0.0),
+                inv_scale=1.0 / spec.scale,
+                even=even,
+                odd=odd,
+                image=0,
+            )
+        else:
+            raise TypeError(f"unknown texture spec {spec!r}")
+        tid = len(self.tex_rows)
+        self.tex_rows.append(row)
+        self.tex_ids[spec] = tid
+        return tid
+
+    def material(self, spec: MaterialSpec) -> int:
+        if spec in self.mat_ids:
+            return self.mat_ids[spec]
+        if isinstance(spec, Lambertian):
+            row = dict(
+                type=mat_mod.LAMBERTIAN,
+                tex=self.texture(spec.texture),
+                fuzz=0.0,
+                ior=1.0,
+                prob=spec.scatter_prob,
+                emission=(0.0, 0.0, 0.0),
+            )
+        elif isinstance(spec, Metal):
+            row = dict(
+                type=mat_mod.METAL,
+                tex=self.texture(SolidColor(tuple(spec.albedo))),
+                fuzz=spec.fuzz,
+                ior=1.0,
+                prob=1.0,
+                emission=(0.0, 0.0, 0.0),
+            )
+        elif isinstance(spec, Dielectric):
+            row = dict(
+                type=mat_mod.DIELECTRIC,
+                tex=self.texture(SolidColor((1.0, 1.0, 1.0))),
+                fuzz=0.0,
+                ior=spec.refraction_index,
+                prob=1.0,
+                emission=(0.0, 0.0, 0.0),
+            )
+        elif isinstance(spec, Emissive):
+            row = dict(
+                type=mat_mod.EMISSIVE,
+                tex=self.texture(SolidColor((0.0, 0.0, 0.0))),
+                fuzz=0.0,
+                ior=1.0,
+                prob=1.0,
+                emission=tuple(spec.emission),
+            )
+        else:
+            raise TypeError(f"unknown material spec {spec!r}")
+        mid = len(self.mat_rows)
+        self.mat_rows.append(row)
+        self.mat_ids[spec] = mid
+        return mid
+
+    def texture_table(self) -> tex_mod.TextureTable:
+        rows = self.tex_rows or [
+            dict(kind=tex_mod.SOLID, color=(0, 0, 0), inv_scale=1.0, even=0, odd=0, image=0)
+        ]
+        return tex_mod.TextureTable(
+            kind=jnp.asarray([r["kind"] for r in rows], jnp.int32),
+            color=jnp.asarray([r["color"] for r in rows], jnp.float32),
+            inv_scale=jnp.asarray([r["inv_scale"] for r in rows], jnp.float32),
+            even=jnp.asarray([r["even"] for r in rows], jnp.int32),
+            odd=jnp.asarray([r["odd"] for r in rows], jnp.int32),
+            image_id=jnp.asarray([r["image"] for r in rows], jnp.int32),
+            images=tuple(jnp.asarray(im, jnp.float32) for im in self.images),
+        )
+
+
+class Scene:
+    """User-facing scene builder (reference Scene, src/scene/mod.rs:75-348)."""
+
+    def __init__(
+        self,
+        aspect_ratio: float = 16.0 / 9.0,
+        image_width: int = 400,
+        frame_rate: float = 24.0,
+        shutter_angle: float = 180.0,
+        duration: Optional[float] = None,
+        seed: int = 0,
+    ):
+        self.scene_cam = Camera(
+            aspect_ratio=aspect_ratio,
+            image_width=image_width,
+            frame_rate=frame_rate,
+            shutter_angle=shutter_angle,
+        )
+        self.elements: List[Union[Sphere, Triangle]] = []
+        self.sky_kind: int = sky_mod.DEFAULT
+        self.sky_image: Optional[np.ndarray] = None
+        self.id_vendor = IdVendor()
+        self.duration = duration
+        self.frame_rate = frame_rate
+        self.seed = seed
+        self._cache: Optional[SceneData] = None
+
+    # --- constructors mirroring the reference ------------------------------
+    @classmethod
+    def new_image(cls, aspect_ratio, image_width, frame_rate=24.0, shutter_angle=180.0, threads=None):
+        del threads  # host threads have no TPU analogue
+        return cls(aspect_ratio, image_width, frame_rate, shutter_angle, None)
+
+    @classmethod
+    def new_movie(cls, aspect_ratio, image_width, frame_rate, shutter_angle, duration, threads=None):
+        del threads
+        return cls(aspect_ratio, image_width, frame_rate, shutter_angle, duration)
+
+    # --- element management -------------------------------------------------
+    def add_element(self, element: Union[Sphere, Triangle], alias: str) -> int:
+        """Vend a unique id for ``alias`` and add the element
+        (src/scene/mod.rs:159-188). Raises on alias collision."""
+        o_type = SPHERE_TYPE if isinstance(element, Sphere) else TRIANGLE_TYPE
+        oid = self.id_vendor.vend_id(alias, o_type)
+        if oid is None:
+            raise ValueError(f"alias {alias!r} already exists in scene")
+        element.id = oid
+        self.elements.append(element)
+        self._cache = None
+        return oid
+
+    def load_asset(self, filename: str, alias: str, scale: float, shift, material: MaterialSpec) -> int:
+        """Load an OBJ mesh under a single alias/id; triangles are flattened
+        into the element list sharing that id (src/scene/mod.rs:191-230)."""
+        oid = self.id_vendor.vend_id(alias, MESH_TYPE)
+        if oid is None:
+            raise ValueError(f"alias {alias!r} already exists in scene")
+        verts, faces = load_obj(filename, scale=scale, shift=tuple(shift))
+        for f in faces:
+            self.elements.append(
+                Triangle(
+                    tuple(verts[f[0]]),
+                    tuple(verts[f[1]]),
+                    tuple(verts[f[2]]),
+                    material,
+                    id=oid,
+                )
+            )
+        self._cache = None
+        return oid
+
+    def load_spherical_skybox(self, filename: str) -> None:
+        """src/scene/mod.rs — spherical equirect skybox from an image (full
+        float HDR supported, unlike the reference's rgb8 crush)."""
+        self.sky_image = load_image(filename)
+        self.sky_kind = sky_mod.SPHERICAL
+        self._cache = None
+
+    def _set_hidden(self, alias: str, hide: bool) -> None:
+        info = self.id_vendor.alias_lookup(alias)
+        if info is None:
+            raise KeyError(f"unknown alias {alias!r}")
+        oid, _ = info
+        for el in self.elements:
+            if el.id == oid:
+                el.hide = hide
+        self._cache = None
+
+    def hide_element(self, alias: str) -> None:
+        self._set_hidden(alias, True)
+
+    def show_element(self, alias: str) -> None:
+        self._set_hidden(alias, False)
+
+    # --- lowering -----------------------------------------------------------
+    def build(self) -> SceneData:
+        """Lower the element list to a SceneData pytree (cached until the
+        scene is mutated)."""
+        if self._cache is not None:
+            return self._cache
+
+        tables = _TableBuilder()
+        spheres = [e for e in self.elements if isinstance(e, Sphere)]
+        tris = [e for e in self.elements if isinstance(e, Triangle)]
+
+        n = len(spheres)
+        n_pad = _pad_to(n, SPHERE_PAD)
+        sph_center = np.zeros((n_pad, 3), np.float32)
+        sph_radius = np.ones((n_pad,), np.float32)
+        sph_mat = np.zeros((n_pad,), np.int32)
+        sph_active = np.zeros((n_pad,), bool)
+        for k, s in enumerate(spheres):
+            sph_center[k] = s.center
+            sph_radius[k] = s.radius
+            sph_mat[k] = tables.material(s.material)
+            sph_active[k] = not s.hide
+
+        # Hidden triangles are filtered before BVH build, like the reference
+        # (src/objects/bvhwrapper.rs:16-27).
+        vis_tris = [t for t in tris if not t.hide]
+        m = len(vis_tris)
+        use_bvh = m > BVH_MIN_TRIS
+        if m:
+            v0 = np.asarray([t.v0 for t in vis_tris], np.float32)
+            v1 = np.asarray([t.v1 for t in vis_tris], np.float32)
+            v2 = np.asarray([t.v2 for t in vis_tris], np.float32)
+            t_mat = np.asarray([tables.material(t.material) for t in vis_tris], np.int32)
+            if use_bvh:
+                bb_min = np.minimum(np.minimum(v0, v1), v2)
+                bb_max = np.maximum(np.maximum(v0, v1), v2)
+                bvh = build_bvh(bb_min, bb_max)
+                perm = bvh.perm
+                v0, v1, v2, t_mat = v0[perm], v1[perm], v2[perm], t_mat[perm]
+                t_active = np.ones((m,), bool)
+            else:
+                bvh = None
+                m_pad = _pad_to(m, 8)
+                pad = m_pad - m
+                v0, v1, v2 = (np.pad(a, ((0, pad), (0, 0))) for a in (v0, v1, v2))
+                t_mat = np.pad(t_mat, (0, pad))
+                t_active = np.zeros((m_pad,), bool)
+                t_active[:m] = True
+        else:
+            bvh = None
+            v0 = v1 = v2 = np.zeros((1, 3), np.float32)
+            t_mat = np.zeros((1,), np.int32)
+            t_active = np.zeros((1,), bool)
+
+        if bvh is None:
+            bvh = FlatBVH(
+                node_min=np.zeros((1, 3), np.float32),
+                node_max=np.zeros((1, 3), np.float32),
+                node_first=np.zeros((1,), np.int32),
+                node_count=np.zeros((1,), np.int32),
+                node_miss=np.ones((1,), np.int32),
+                node_parent=np.full((1,), -1, np.int32),
+                perm=np.zeros((0,), np.int32),
+            )
+
+        if not tables.mat_rows:  # empty scene still needs one material row
+            tables.material(Lambertian.from_color((0.5, 0.5, 0.5)))
+
+        mat_rows = tables.mat_rows
+        sky_img = (
+            jnp.asarray(self.sky_image, jnp.float32)
+            if self.sky_image is not None
+            else jnp.zeros((1, 1, 3), jnp.float32)
+        )
+
+        sd = SceneData(
+            sph_center=jnp.asarray(sph_center),
+            sph_radius=jnp.asarray(sph_radius),
+            sph_mat=jnp.asarray(sph_mat),
+            sph_active=jnp.asarray(sph_active),
+            tri_v0=jnp.asarray(v0),
+            tri_v1=jnp.asarray(v1),
+            tri_v2=jnp.asarray(v2),
+            tri_mat=jnp.asarray(t_mat),
+            tri_active=jnp.asarray(t_active),
+            mat_type=jnp.asarray([r["type"] for r in mat_rows], jnp.int32),
+            mat_tex=jnp.asarray([r["tex"] for r in mat_rows], jnp.int32),
+            mat_fuzz=jnp.asarray([r["fuzz"] for r in mat_rows], jnp.float32),
+            mat_ior=jnp.asarray([r["ior"] for r in mat_rows], jnp.float32),
+            mat_prob=jnp.asarray([r["prob"] for r in mat_rows], jnp.float32),
+            mat_emission=jnp.asarray([r["emission"] for r in mat_rows], jnp.float32),
+            tex=tables.texture_table(),
+            sky_image=sky_img,
+            bvh_min=jnp.asarray(bvh.node_min),
+            bvh_max=jnp.asarray(bvh.node_max),
+            bvh_first=jnp.asarray(bvh.node_first),
+            bvh_count=jnp.asarray(bvh.node_count),
+            bvh_miss=jnp.asarray(bvh.node_miss),
+            sky_kind=self.sky_kind,
+            num_spheres=n,
+            num_tris=m,
+            use_bvh=use_bvh,
+            animated=False,
+        )
+        self._cache = sd
+        return sd
+
+    # --- rendering ----------------------------------------------------------
+    def render_scene(self, fname: str):
+        """Movie if a duration was set, else a single image
+        (src/scene/mod.rs:283-289)."""
+        from crucible_tpu.models import render as render_mod
+
+        if self.duration is not None:
+            return render_mod.render_movie(self, fname)
+        return render_mod.render_image_to_file(self, fname)

@@ -1,0 +1,296 @@
+"""Keyframe timeline animation as data: authoring commands -> flat tracks.
+
+The reference's most distinctive subsystem (src/timeline/, 1,382 LoC) stores
+each animated quantity as a 4x4 matrix OF CLOSURES evaluated per ray
+(SURVEY.md §2.6). Here a timeline is plain data lowered to padded arrays and
+evaluated as vectorized gather+lerp — differentiable and jit-able for free.
+
+Semantics preserved from ``combine_and_compute`` (timeline/mod.rs:233-263):
+
+- value(t) = Scale(t) applied to Translate(t) applied to the origin.
+- Translate is the PRODUCT of all translate transforms with interval start
+  <= t — translation matrices commute into a SUM of per-keyframe deltas,
+  each ramped by the clamped proportion of its validity interval
+  (LERP: [prev_end, keyframe]; NERP: the degenerate [keyframe, keyframe]
+  whose proportion is a step — utils/interval.py).
+- Scale is the single MOST RECENT transform with start <= t, interpolating
+  from the previous same-axis endpoint to the keyframe value. Axes not
+  touched by that transform evaluate to identity — matching the reference,
+  where each scale matrix carries 1.0 in untouched diagonal cells.
+- Keyframe chaining: World space keys store delta = target - previous
+  endpoint; Local keys store the delta directly
+  (transform_builder.rs:365-428).
+- Sphere radius rides the scale track (the reference's ``sphere scaler``
+  puts r in matrix slot m44, matrix_builder.rs:39-62).
+
+Intentional fixes (documented, SURVEY.md §7): the reference's ``scale_y``
+writes its factor into m21 producing a shear (transform_builder.rs:229-246)
+— not replicated; ``scale_point`` there pushes three sibling transforms of
+which most-recent-wins keeps only Z — here it is one vector-valued keyframe.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+NERP = "nerp"
+LERP = "lerp"
+WORLD = "world"
+LOCAL = "local"
+
+_INIT_TIME = -0.1  # init transforms are seeded at t=-0.1 (timeline/mod.rs:141)
+
+AXIS_X, AXIS_Y, AXIS_Z = 0, 1, 2
+AXIS_ALL = -1  # uniform / vector-valued keys
+
+
+@dataclass
+class _TranslateKey:
+    axis: int  # AXIS_X/Y/Z or AXIS_ALL (vector key)
+    value: np.ndarray  # (3,) target (world) or delta (local); only `axis` lanes used
+    keyframe: float
+    interp: str
+    space: str
+
+
+@dataclass
+class _ScaleKey:
+    axis: int  # AXIS_X/Y/Z or AXIS_ALL (uniform / radius)
+    value: float
+    keyframe: float
+    interp: str
+
+
+@dataclass
+class TransformTimeline:
+    """Host-side authoring record for one animated entity.
+
+    ``init_scale`` doubles as the sphere radius for sphere timelines
+    (TransformTimeline::new_sphere, timeline/mod.rs:176-223).
+    """
+
+    init_pos: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    init_scale: float = 1.0
+    translate_keys: List[_TranslateKey] = field(default_factory=list)
+    scale_keys: List[_ScaleKey] = field(default_factory=list)
+
+    # --- authoring (transform_builder.rs surface) -------------------------
+    def _add_translate(self, axis: int, value, keyframe: float, interp: str, space: str):
+        assert keyframe >= 0.0, "keyframes cannot be negative"
+        v = np.zeros(3, np.float64)
+        if axis == AXIS_ALL:
+            v[:] = value
+        else:
+            v[axis] = value
+        self.translate_keys.append(_TranslateKey(axis, v, float(keyframe), interp, space))
+
+    def translate_x(self, x, keyframe, interp=LERP, space=LOCAL):
+        self._add_translate(AXIS_X, x, keyframe, interp, space)
+
+    def translate_y(self, y, keyframe, interp=LERP, space=LOCAL):
+        self._add_translate(AXIS_Y, y, keyframe, interp, space)
+
+    def translate_z(self, z, keyframe, interp=LERP, space=LOCAL):
+        self._add_translate(AXIS_Z, z, keyframe, interp, space)
+
+    def translate_point(self, p, keyframe, interp=LERP, space=LOCAL):
+        """Vector keyframe — equivalent to the reference's composite
+        translate_point (transform_builder.rs:715-733) but as one key."""
+        self._add_translate(AXIS_ALL, np.asarray(p, np.float64), keyframe, interp, space)
+
+    def scale_x(self, f, keyframe, interp=LERP):
+        self.scale_keys.append(_ScaleKey(AXIS_X, float(f), float(keyframe), interp))
+
+    def scale_y(self, f, keyframe, interp=LERP):
+        self.scale_keys.append(_ScaleKey(AXIS_Y, float(f), float(keyframe), interp))
+
+    def scale_z(self, f, keyframe, interp=LERP):
+        self.scale_keys.append(_ScaleKey(AXIS_Z, float(f), float(keyframe), interp))
+
+    def scale_uniform(self, f, keyframe, interp=LERP):
+        self.scale_keys.append(_ScaleKey(AXIS_ALL, float(f), float(keyframe), interp))
+
+    # `scale_r` for spheres IS `scale_uniform` on the radius track.
+    scale_r = scale_uniform
+
+    @property
+    def animated(self) -> bool:
+        return bool(self.translate_keys or self.scale_keys)
+
+    # --- lowering ----------------------------------------------------------
+    def lower_translate(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """-> (t0 (K,), t1 (K,), delta (K,3)) ramp segments.
+
+        position(t) = init_pos + sum_k delta_k * step_or_ramp(t; t0_k, t1_k).
+        Keys are chained per axis (per-type prev endpoint, LERP interval
+        [prev_end, keyframe]); vector keys chain all three axes.
+        """
+        keys = sorted(self.translate_keys, key=lambda k: k.keyframe)
+        abs_pos = np.asarray(self.init_pos, np.float64).copy()
+        prev_end = {AXIS_X: _INIT_TIME, AXIS_Y: _INIT_TIME, AXIS_Z: _INIT_TIME}
+        t0s, t1s, deltas = [], [], []
+        for k in keys:
+            axes = [AXIS_X, AXIS_Y, AXIS_Z] if k.axis == AXIS_ALL else [k.axis]
+            if k.space == WORLD:
+                delta = np.zeros(3)
+                for ax in axes:
+                    delta[ax] = k.value[ax] - abs_pos[ax]
+            else:
+                delta = np.array([k.value[ax] if ax in axes else 0.0 for ax in range(3)])
+            start = max(prev_end[ax] for ax in axes) if k.interp == LERP else k.keyframe
+            t0s.append(max(start, 0.0) if k.interp == LERP else k.keyframe)
+            t1s.append(k.keyframe)
+            deltas.append(delta)
+            abs_pos += delta
+            for ax in axes:
+                prev_end[ax] = k.keyframe
+        if not t0s:
+            return (
+                np.zeros((0,), np.float32),
+                np.zeros((0,), np.float32),
+                np.zeros((0, 3), np.float32),
+            )
+        return (
+            np.asarray(t0s, np.float32),
+            np.asarray(t1s, np.float32),
+            np.asarray(deltas, np.float32),
+        )
+
+    def lower_scale(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """-> (t0 (K,), t1 (K,), from (K,3), to (K,3)) most-recent segments.
+
+        scale(t) = lerp(from_k*, to_k*, ramp) for k* = last segment with
+        t0 <= t; identity (init) before any key. Untouched axes carry 1.0
+        except the init segment which carries init_scale on all axes.
+        """
+        keys = sorted(self.scale_keys, key=lambda k: k.keyframe)
+        prev_val = {
+            AXIS_X: self.init_scale,
+            AXIS_Y: self.init_scale,
+            AXIS_Z: self.init_scale,
+        }
+        prev_end = {AXIS_X: _INIT_TIME, AXIS_Y: _INIT_TIME, AXIS_Z: _INIT_TIME}
+        t0s = [_INIT_TIME]
+        t1s = [_INIT_TIME]
+        froms = [np.full(3, self.init_scale)]
+        tos = [np.full(3, self.init_scale)]
+        for k in keys:
+            axes = [AXIS_X, AXIS_Y, AXIS_Z] if k.axis == AXIS_ALL else [k.axis]
+            f = np.ones(3)
+            t = np.ones(3)
+            for ax in axes:
+                f[ax] = prev_val[ax]
+                t[ax] = k.value
+            start = (
+                max(prev_end[ax] for ax in axes) if k.interp == LERP else k.keyframe
+            )
+            t0s.append(max(start, 0.0) if k.interp == LERP else k.keyframe)
+            t1s.append(k.keyframe)
+            froms.append(f)
+            tos.append(t)
+            for ax in axes:
+                prev_val[ax] = k.value
+                prev_end[ax] = k.keyframe
+        return (
+            np.asarray(t0s, np.float32),
+            np.asarray(t1s, np.float32),
+            np.asarray(froms, np.float32),
+            np.asarray(tos, np.float32),
+        )
+
+
+# --------------------------------------------------------------------------
+# Vectorized evaluation (jit side)
+# --------------------------------------------------------------------------
+
+
+def _ramp(t, t0, t1):
+    """clamp((t - t0)/(t1 - t0), 0, 1) with degenerate intervals as steps —
+    Interval::proportion semantics (utils/interval.py)."""
+    span = t1 - t0
+    lin = (t - t0) / jnp.where(span > 0, span, 1.0)
+    step = jnp.where(t >= t0, 1.0, 0.0)
+    return jnp.clip(jnp.where(span > 0, lin, step), 0.0, 1.0)
+
+
+def eval_translate(t0, t1, delta, init_pos, t):
+    """Translate track evaluation.
+
+    Args:
+      t0, t1: (..., K) segment intervals; delta: (..., K, 3); init_pos (..., 3).
+      t: broadcastable time(s) — scalar, or (R,) against (K,)-shaped tracks.
+
+    Returns position with batch shape broadcast(t, track_batch) x 3.
+    """
+    t = jnp.asarray(t, jnp.float32)
+    if t.ndim and t0.ndim >= 1:
+        # (R,) times against (..., K) tracks -> (R, ..., 3)
+        tt = t.reshape(t.shape + (1,) * t0.ndim)
+    else:
+        tt = t
+    r = _ramp(tt, t0, t1)  # (R, ..., K) or (..., K)
+    return init_pos + jnp.sum(r[..., None] * delta, axis=-2)
+
+
+def eval_scale(t0, t1, sc_from, sc_to, t):
+    """Scale track evaluation: most-recent segment (largest k with t0 <= t;
+    tracks are start-sorted) lerped by its ramp. Returns (..., 3)."""
+    t = jnp.asarray(t, jnp.float32)
+    if t.ndim and t0.ndim >= 1:
+        tt = t.reshape(t.shape + (1,) * t0.ndim)
+    else:
+        tt = t
+    mask = tt >= t0  # (R, ..., K); init segment at -0.1 always active
+    k_star = jnp.maximum(jnp.sum(mask, axis=-1, dtype=jnp.int32) - 1, 0)  # (R, ...)
+    f = jnp.take_along_axis(
+        jnp.broadcast_to(sc_from, mask.shape + (3,)), k_star[..., None, None], axis=-2
+    )[..., 0, :]
+    g = jnp.take_along_axis(
+        jnp.broadcast_to(sc_to, mask.shape + (3,)), k_star[..., None, None], axis=-2
+    )[..., 0, :]
+    s0 = jnp.take_along_axis(jnp.broadcast_to(t0, mask.shape), k_star[..., None], axis=-1)[..., 0]
+    s1 = jnp.take_along_axis(jnp.broadcast_to(t1, mask.shape), k_star[..., None], axis=-1)[..., 0]
+    ramp = _ramp(jnp.asarray(t, jnp.float32).reshape(s0.shape[: t.ndim] + (1,) * (s0.ndim - t.ndim)) if t.ndim else t, s0, s1)
+    return f + (g - f) * ramp[..., None]
+
+
+def pad_tracks(tracks, max_k: Optional[int] = None):
+    """Stack per-object lowered translate tracks into padded arrays.
+
+    tracks: list of (t0 (K_i,), t1, delta (K_i,3)).
+    Returns (t0 (N, K), t1 (N, K), delta (N, K, 3)); padding deltas are zero
+    so padded segments contribute nothing.
+    """
+    n = len(tracks)
+    k = max_k if max_k is not None else max((len(tr[0]) for tr in tracks), default=0)
+    k = max(k, 1)
+    t0 = np.zeros((n, k), np.float32)
+    t1 = np.zeros((n, k), np.float32)
+    delta = np.zeros((n, k, 3), np.float32)
+    for i, (a, b, d) in enumerate(tracks):
+        t0[i, : len(a)] = a
+        t1[i, : len(a)] = b
+        delta[i, : len(a)] = d
+    return t0, t1, delta
+
+
+def pad_scale_tracks(tracks, max_k: Optional[int] = None):
+    """Stack per-object lowered scale tracks. Padding segments get
+    t0 = +inf so they are never selected."""
+    n = len(tracks)
+    k = max_k if max_k is not None else max((len(tr[0]) for tr in tracks), default=1)
+    k = max(k, 1)
+    t0 = np.full((n, k), np.inf, np.float32)
+    t1 = np.full((n, k), np.inf, np.float32)
+    f = np.ones((n, k, 3), np.float32)
+    g = np.ones((n, k, 3), np.float32)
+    for i, (a, b, fr, to) in enumerate(tracks):
+        t0[i, : len(a)] = a
+        t1[i, : len(a)] = b
+        f[i, : len(a)] = fr
+        g[i, : len(a)] = to
+    return t0, t1, f, g

@@ -1,0 +1,156 @@
+"""Host-side BVH construction into flat, stackless-traversal-ready arrays.
+
+Topology follows the reference builder (src/objects/bvhwrapper.rs:46-80):
+recursive top-down, sort the span by bbox-min along the longest axis of the
+span's enclosing box, median split. Instead of a pointer tree traversed with
+per-ray ``&mut self`` AABB mutation (src/objects/bvhwrapper.rs:97-127), we
+emit nodes in DFS order with *skip links*:
+
+  - on bbox hit at an inner node, advance to ``i + 1`` (its left child);
+  - on miss (or after testing a leaf), jump to ``miss[i]``;
+  - traversal ends when the cursor reaches ``num_nodes``.
+
+This makes traversal a branch-free lockstep loop over a whole ray wavefront
+(see ops/traverse.py) — the TPU answer to divergent recursive descent.
+
+Primitives are permuted into leaf order (``perm``) so leaves address
+contiguous ranges; animated refit recomputes only the box arrays bottom-up,
+fixing the reference's stale-inner-node problem (SURVEY.md §2.2) instead of
+reproducing it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class FlatBVH:
+    """Flat DFS-ordered BVH. All arrays are NumPy; converted to jnp by the
+    scene builder."""
+
+    node_min: np.ndarray  # (K, 3) f32
+    node_max: np.ndarray  # (K, 3) f32
+    node_first: np.ndarray  # (K,) i32 — first primitive (leaf), else 0
+    node_count: np.ndarray  # (K,) i32 — primitive count (0 for inner nodes)
+    node_miss: np.ndarray  # (K,) i32 — skip link
+    node_parent: np.ndarray  # (K,) i32 — parent index (-1 for root), for refit
+    perm: np.ndarray  # (M,) i32 — primitive permutation into leaf order
+
+    @property
+    def num_nodes(self) -> int:
+        return len(self.node_min)
+
+
+def build_bvh(bb_min: np.ndarray, bb_max: np.ndarray, leaf_size: int = 4) -> FlatBVH:
+    """Build a flat BVH over M primitive AABBs.
+
+    Args:
+      bb_min, bb_max: (M, 3) primitive bounds.
+      leaf_size: max primitives per leaf (the reference recurses to single-
+        primitive leaves, duplicating span==1 leaves into both children
+        (bvhwrapper.rs:59-61); grouping a few prims per leaf is strictly
+        better for vectorized leaf tests).
+    """
+    m = len(bb_min)
+    assert m > 0, "empty BVH"
+    bb_min = np.asarray(bb_min, np.float32)
+    bb_max = np.asarray(bb_max, np.float32)
+    centers = 0.5 * (bb_min + bb_max)
+
+    # Each entry: (prim_indices, left, right) built recursively; nodes listed
+    # in DFS order so `left == index + 1` implicitly.
+    node_min, node_max, node_first, node_count, node_parent = [], [], [], [], []
+    perm: list[int] = []
+
+    def emit(parent: int) -> int:
+        idx = len(node_min)
+        node_min.append(None)
+        node_max.append(None)
+        node_first.append(0)
+        node_count.append(0)
+        node_parent.append(parent)
+        return idx
+
+    def build(span: np.ndarray, parent: int) -> int:
+        idx = emit(parent)
+        lo = bb_min[span].min(axis=0)
+        hi = bb_max[span].max(axis=0)
+        node_min[idx] = lo
+        node_max[idx] = hi
+        if len(span) <= leaf_size:
+            node_first[idx] = len(perm)
+            node_count[idx] = len(span)
+            perm.extend(span.tolist())
+            return idx
+        axis = int(np.argmax(hi - lo))  # longest_axis (bvh.rs:82-94)
+        order = span[np.argsort(bb_min[span, axis], kind="stable")]
+        mid = len(order) // 2
+        build(order[:mid], idx)
+        build(order[mid:], idx)
+        return idx
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 64 + 4 * m))
+    try:
+        build(np.arange(m), -1)
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    k = len(node_min)
+    parents = np.asarray(node_parent, np.int32)
+    counts = np.asarray(node_count, np.int32)
+
+    # Miss links: for the DFS layout, a node's miss target is the next node
+    # that is not in its subtree. Compute via subtree extents: walk nodes in
+    # reverse, tracking each node's subtree end.
+    subtree_end = np.zeros(k, np.int32)  # exclusive end of each subtree
+    # DFS property: a subtree occupies a contiguous index range. The end of
+    # node i's range is the start of its next sibling (or parent's end).
+    # Compute by propagating: leaves end at i+1; an inner node ends where its
+    # right child ends (right child = last child emitted).
+    children: list[list[int]] = [[] for _ in range(k)]
+    for i in range(1, k):
+        children[parents[i]].append(i)
+    for i in range(k - 1, -1, -1):
+        if counts[i] > 0:
+            subtree_end[i] = i + 1
+        else:
+            subtree_end[i] = subtree_end[children[i][-1]]
+    miss = subtree_end  # skip link == first node after the subtree
+
+    return FlatBVH(
+        node_min=np.stack(node_min).astype(np.float32),
+        node_max=np.stack(node_max).astype(np.float32),
+        node_first=np.asarray(node_first, np.int32),
+        node_count=counts,
+        node_miss=miss.astype(np.int32),
+        node_parent=parents,
+        perm=np.asarray(perm, np.int32),
+    )
+
+
+def refit_bounds(bvh: FlatBVH, prim_min: np.ndarray, prim_max: np.ndarray):
+    """Recompute node bounds bottom-up for moved primitives (same topology).
+
+    ``prim_min``/``prim_max`` are in the ORIGINAL primitive order; ``perm``
+    maps leaf slots to them. Returns (node_min, node_max) NumPy arrays.
+    """
+    k = bvh.num_nodes
+    node_min = np.full((k, 3), np.inf, np.float32)
+    node_max = np.full((k, 3), -np.inf, np.float32)
+    for i in range(k - 1, -1, -1):
+        c = bvh.node_count[i]
+        if c > 0:
+            prims = bvh.perm[bvh.node_first[i] : bvh.node_first[i] + c]
+            node_min[i] = prim_min[prims].min(axis=0)
+            node_max[i] = prim_max[prims].max(axis=0)
+        p = bvh.node_parent[i]
+        if p >= 0:
+            node_min[p] = np.minimum(node_min[p], node_min[i])
+            node_max[p] = np.maximum(node_max[p], node_max[i])
+    return node_min, node_max

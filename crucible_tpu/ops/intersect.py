@@ -1,0 +1,161 @@
+"""Batched closest-hit primitive intersection.
+
+Sphere math follows the reference quadratic (src/objects/sphere.rs:61-105):
+``h = d.oc``, ``c = |oc|^2 - r^2``, roots ``(h -/+ sqrt(disc)) / a`` with the
+near root preferred, accepted iff strictly inside (t_min, t_max)
+(Interval::surrounds, src/utils.rs:656-659).
+
+TPU re-design: for R rays x N spheres the terms expand to
+
+    h  = (d @ C^T) - (d.o)          c = |C|^2 - 2 (o @ C^T) + |o|^2 - r^2
+
+i.e. two (R,3)x(3,N) matmuls plus rank-1 broadcasts — the whole quadratic
+rides the MXU instead of a scalar loop per leaf.
+
+Triangle math is batched Möller–Trumbore (src/objects/triangle.rs:84-140)
+with the same epsilon (1e-8) for parallel rays.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+# Plain NumPy so importing never initializes a JAX backend.
+BIG = np.float32(3.0e38)  # sentinel "no hit" distance (finite to keep grads clean)
+MT_EPS = 1e-8
+
+
+def hit_spheres(o, d, centers, radii, active, t_min, t_max):
+    """Closest sphere hit per ray.
+
+    Args:
+      o, d: ray origins/directions, (R, 3). d need not be normalized
+        (the reference never normalizes primary directions).
+      centers: (N, 3) static scene, or (R, N, 3) when per-ray times animate
+        the scene (motion blur — reference evaluates the timeline per ray,
+        src/objects/sphere.rs:67-69).
+      radii: (N,) or (R, N).
+      active: (N,) or (R, N) bool — False for hidden/padding spheres
+        (reference ``hide`` flag, src/objects/sphere.rs:62-64).
+      t_min, t_max: scalar acceptance interval (exclusive, "surrounds").
+
+    Returns:
+      t: (R,) hit distance (BIG where no hit)
+      idx: (R,) int32 index of the winning sphere (0 where no hit)
+      hit: (R,) bool
+    """
+    a = jnp.sum(d * d, axis=-1)[:, None]  # (R, 1)
+    if centers.ndim == 2:
+        # MXU path: static scene.
+        d_dot_c = d @ centers.T  # (R, N)
+        o_dot_c = o @ centers.T  # (R, N)
+        c_sq = jnp.sum(centers * centers, axis=-1)[None, :]  # (1, N)
+        r_sq = (radii * radii)[None, :]
+        act = active[None, :]
+    else:
+        # Animated path: per-ray centers.
+        d_dot_c = jnp.sum(d[:, None, :] * centers, axis=-1)
+        o_dot_c = jnp.sum(o[:, None, :] * centers, axis=-1)
+        c_sq = jnp.sum(centers * centers, axis=-1)
+        r_sq = radii * radii
+        act = active if active.ndim == 2 else active[None, :]
+
+    h = d_dot_c - jnp.sum(d * o, axis=-1)[:, None]  # (R, N)
+    c = c_sq - 2.0 * o_dot_c + jnp.sum(o * o, axis=-1)[:, None] - r_sq
+    disc = h * h - a * c
+    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+
+    root0 = (h - sqrtd) / a
+    root1 = (h + sqrtd) / a
+    ok0 = (root0 > t_min) & (root0 < t_max)
+    ok1 = (root1 > t_min) & (root1 < t_max)
+    root = jnp.where(ok0, root0, root1)
+    valid = (disc >= 0.0) & (ok0 | ok1) & act
+
+    t_all = jnp.where(valid, root, BIG)
+    idx = jnp.argmin(t_all, axis=-1).astype(jnp.int32)
+    t = jnp.take_along_axis(t_all, idx[:, None], axis=-1)[:, 0]
+    return t, idx, t < BIG
+
+
+def sphere_uv(n):
+    """(u, v) texture coordinates from the unit outward normal.
+
+    Reference: src/objects/sphere.rs:41-46 — theta = acos(-y),
+    phi = atan2(-z, x) + pi; u = phi/2pi, v = theta/pi.
+    """
+    theta = jnp.arccos(jnp.clip(-n[..., 1], -1.0, 1.0))
+    phi = jnp.arctan2(-n[..., 2], n[..., 0]) + jnp.pi
+    return phi / (2.0 * jnp.pi), theta / jnp.pi
+
+
+def hit_triangles(o, d, v0, v1, v2, active, t_min, t_max):
+    """Closest triangle hit per ray via batched Möller–Trumbore.
+
+    Args:
+      o, d: (R, 3); v0/v1/v2: (M, 3) or (R, M, 3) (animated); active: (M,).
+
+    Returns (t, idx, hit) like :func:`hit_spheres`. Barycentrics are
+    recomputed at shading time for the winner only.
+    """
+    if v0.ndim == 2:
+        v0b, v1b, v2b = v0[None], v1[None], v2[None]  # (1, M, 3)
+    else:
+        v0b, v1b, v2b = v0, v1, v2
+    e1 = v1b - v0b
+    e2 = v2b - v0b
+    ob = o[:, None, :]
+    db = d[:, None, :]
+
+    pvec = jnp.cross(db, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > MT_EPS, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    tvec = ob - v0b
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(db * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+
+    valid = (
+        (jnp.abs(det) > MT_EPS)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > t_min)
+        & (t < t_max)
+        & (active if active.ndim == 2 else active[None, :])
+    )
+    t_all = jnp.where(valid, t, BIG)
+    idx = jnp.argmin(t_all, axis=-1).astype(jnp.int32)
+    t_best = jnp.take_along_axis(t_all, idx[:, None], axis=-1)[:, 0]
+    return t_best, idx, t_best < BIG
+
+
+def triangle_normal(v0, v1, v2):
+    """Geometric normal e1 x e2, normalized (reference uses
+    HitRecord::safe_new which normalizes, src/objects/triangle.rs:120-140)."""
+    n = jnp.cross(v1 - v0, v2 - v0)
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+
+
+def hit_aabbs(o, d, box_min, box_max, t_min, t_max):
+    """Batched slab test: R rays x K boxes.
+
+    Reference: Aabb::hit (src/objects/bvh.rs:96-132) iterates axes with
+    early-out; here all axes and boxes evaluate in parallel and the interval
+    intersection is a max/min reduction.
+
+    Args: o, d (R,3); box_min/box_max (K,3). Returns (R, K) bool.
+    """
+    # Avoid 0 * inf = nan when a ray is axis-aligned AND starts on a slab
+    # plane: nudge zero components to a tiny signed epsilon instead.
+    d_safe = jnp.where(jnp.abs(d) < 1e-30, jnp.where(d >= 0, 1e-30, -1e-30), d)
+    inv_d = 1.0 / d_safe
+    t0 = (box_min[None, :, :] - o[:, None, :]) * inv_d[:, None, :]
+    t1 = (box_max[None, :, :] - o[:, None, :]) * inv_d[:, None, :]
+    lo = jnp.minimum(t0, t1)
+    hi = jnp.maximum(t0, t1)
+    enter = jnp.maximum(jnp.max(lo, axis=-1), t_min)
+    exit_ = jnp.minimum(jnp.min(hi, axis=-1), t_max)
+    return enter < exit_
