@@ -1,0 +1,126 @@
+"""Differentiable rendering: parameter pytrees, losses, and train steps.
+
+BASELINE acceptance: pixel gradients w.r.t. material albedo, texture texels,
+emission, and camera parameters must pass finite-difference checks. The
+integrator keeps continuous radiance terms on the autodiff tape and detaches
+discrete sampling decisions (models/integrator.py docstring), so interior
+gradients here are the standard detached-sampling estimator.
+
+The train step is the inverse-rendering workhorse: given target images,
+optimize scene parameters by gradient descent. Under a sharded jit the
+per-shard gradients are psum-reduced by XLA automatically.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from crucible_tpu.models import integrator
+from crucible_tpu.models.camera import CameraParams
+from crucible_tpu.models.scene import SceneData
+
+
+def extract_params(sd: SceneData, cp: CameraParams) -> Dict[str, Any]:
+    """Pull the differentiable leaves out of (scene, camera) as a flat dict —
+    the optimization variables for inverse rendering."""
+    return {
+        "tex_color": sd.tex.color,  # solid/checker albedos
+        "tex_images": sd.tex.images,  # texture texels
+        "mat_emission": sd.mat_emission,
+        "mat_fuzz": sd.mat_fuzz,
+        "sky_image": sd.sky_image,
+        "cam_look_from": cp.look_from,
+        "cam_look_at": cp.look_at,
+        "cam_vfov": cp.vfov_rad,
+        "cam_defocus": cp.defocus_angle_rad,
+        "cam_focus_dist": cp.focus_dist,
+    }
+
+
+def apply_params(sd: SceneData, cp: CameraParams, p: Dict[str, Any]):
+    """Write a parameter dict back into (scene, camera) pytrees."""
+    sd = sd.replace(
+        tex=sd.tex.replace(color=p["tex_color"], images=tuple(p["tex_images"])),
+        mat_emission=p["mat_emission"],
+        mat_fuzz=p["mat_fuzz"],
+        sky_image=p["sky_image"],
+    )
+    cp = cp.replace(
+        look_from=p["cam_look_from"],
+        look_at=p["cam_look_at"],
+        vfov_rad=p["cam_vfov"],
+        defocus_angle_rad=p["cam_defocus"],
+        focus_dist=p["cam_focus_dist"],
+    )
+    return sd, cp
+
+
+def render_pixels_mean(
+    params,
+    sd: SceneData,
+    cp: CameraParams,
+    pixel_ids,
+    width: int,
+    height: int,
+    spp: int,
+    max_depth: int,
+    seed,
+):
+    """Per-pixel mean radiance (P, 3) for the given pixels, differentiable
+    w.r.t. ``params``."""
+    sd, cp = apply_params(sd, cp, params)
+    p = pixel_ids.shape[0]
+    pix = jnp.tile(pixel_ids, spp)
+    smp = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), p)
+    rad = integrator.render_rays(
+        sd, cp, width, height, pix, smp, seed, max_depth, differentiable=True
+    )
+    return rad.reshape(spp, p, 3).mean(axis=0)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "max_depth"))
+def l2_loss(params, sd, cp, target, pixel_ids, seed, *, width, height, spp, max_depth):
+    """Mean squared error against target pixel radiances."""
+    img = render_pixels_mean(
+        params, sd, cp, pixel_ids, width, height, spp, max_depth, seed
+    )
+    return jnp.mean((img - target) ** 2)
+
+
+loss_and_grad = jax.jit(
+    jax.value_and_grad(l2_loss),
+    static_argnames=("width", "height", "spp", "max_depth"),
+)
+
+
+def make_train_step(optimizer, width: int, height: int, spp: int, max_depth: int):
+    """Build a jitted optimization step over the parameter dict.
+
+    ``optimizer`` is any optax GradientTransformation. Returns
+    ``step(params, opt_state, sd, cp, target, pixel_ids, seed) ->
+    (params, opt_state, loss)``.
+    """
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, sd, cp, target, pixel_ids, seed):
+        loss, grads = jax.value_and_grad(l2_loss)(
+            params,
+            sd,
+            cp,
+            target,
+            pixel_ids,
+            seed,
+            width=width,
+            height=height,
+            spp=spp,
+            max_depth=max_depth,
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    return step

@@ -41,17 +41,29 @@ T_MIN = 1.0e-3  # shadow-acne epsilon (src/camera/ray_casting.rs:119)
 BIG = intersect.BIG
 
 
-def intersect_scene(sd: SceneData, o, d):
+def intersect_scene(sd: SceneData, o, d, use_pallas: bool = False):
     """Closest hit against all scene primitives.
+
+    ``use_pallas`` routes sphere intersection through the fused VMEM kernel
+    (ops/pallas/sphere_hit.py) — requires R % TILE_RAYS == 0; the pure-jnp
+    path is the portable reference.
 
     Returns a dict of per-ray arrays:
       hit (bool), t, point (R,3), normal (R,3) front-face-flipped unit,
       front (bool), u, v, mat (int32).
     """
     r = o.shape[0]
-    t_s, i_s, hit_s = intersect.hit_spheres(
-        o, d, sd.sph_center, sd.sph_radius, sd.sph_active, T_MIN, jnp.inf
-    )
+    if use_pallas:
+        from crucible_tpu.ops.pallas.sphere_hit import hit_spheres_pallas
+
+        csr = jnp.sum(sd.sph_center * sd.sph_center, -1) - sd.sph_radius * sd.sph_radius
+        t_s, i_s, hit_s = hit_spheres_pallas(
+            o, d, sd.sph_center, csr, sd.sph_active.astype(jnp.float32), t_min=T_MIN
+        )
+    else:
+        t_s, i_s, hit_s = intersect.hit_spheres(
+            o, d, sd.sph_center, sd.sph_radius, sd.sph_active, T_MIN, jnp.inf
+        )
 
     if sd.num_tris > 0:
         if sd.use_bvh:
@@ -82,7 +94,11 @@ def intersect_scene(sd: SceneData, o, d):
 
     hit = hit_s | is_tri
     t = jnp.where(is_tri, t_t, t_s)
-    point = o + t[:, None] * d
+    # Miss lanes carry t = BIG; clamp the shading-point t to keep all
+    # downstream geometry finite (inf would turn masked-out lanes into NaN
+    # gradients via 0 * inf in the backward pass).
+    t_shade = jnp.where(hit, t, 1.0)
+    point = o + t_shade[:, None] * d
 
     # Sphere shading attributes (src/objects/sphere.rs:95-105).
     c_w = jnp.take(sd.sph_center, i_s, axis=0)
@@ -112,62 +128,192 @@ def intersect_scene(sd: SceneData, o, d):
     return dict(hit=hit, t=t, point=point, normal=normal, front=front, u=uu, v=vv, mat=mat)
 
 
-def trace(sd: SceneData, o, d, pixel_ids, sample_ids, seed, max_depth: int):
-    """Integrate radiance for a wavefront of primary rays -> (R, 3)."""
+def bounce_step(sd: SceneData, o, d, pixel_ids, sample_ids, bounce, seed, use_pallas=False):
+    """One wavefront bounce: intersect, shade, sample the next direction.
+
+    ``bounce`` may be a scalar (lockstep loop) or a per-ray (R,) array
+    (persistent wavefront — each lane is at its own depth).
+
+    Returns a dict:
+      contrib (R, 3): radiance contribution BEFORE throughput weighting
+        (sky on miss + emission on hit)
+      hit (R,) bool, scattered (R,) bool
+      new_o, new_d (R, 3), atten (R, 3)
+    """
+    h = intersect_scene(sd, o, d, use_pallas=use_pallas)
+    hit = h["hit"]
+
+    sky = sky_mod.radiance(sd.sky_kind, sd.sky_image, d)
+    mat = h["mat"]
+    emission = jnp.take(sd.mat_emission, mat, axis=0)
+    contrib = jnp.where(hit[:, None], emission, sky)
+
+    albedo = tex_mod.value(
+        sd.tex, jnp.take(sd.mat_tex, mat, axis=0), h["u"], h["v"], h["point"]
+    )
+    u_dir1, u_dir2, u_decide = crng.uniform3(
+        pixel_ids,
+        sample_ids,
+        jnp.uint32(crng.STREAM_BOUNCE_BASE) + jnp.asarray(bounce).astype(jnp.uint32),
+        seed,
+    )
+    new_dir, atten, scattered = mat_mod.scatter(
+        jnp.take(sd.mat_type, mat, axis=0),
+        jnp.take(sd.mat_fuzz, mat, axis=0),
+        jnp.take(sd.mat_ior, mat, axis=0),
+        jnp.take(sd.mat_prob, mat, axis=0),
+        albedo,
+        d,
+        h["normal"],
+        h["front"],
+        u_dir1,
+        u_dir2,
+        u_decide,
+    )
+    return dict(
+        contrib=contrib,
+        hit=hit,
+        scattered=scattered,
+        new_o=h["point"],
+        new_d=new_dir,
+        atten=atten,
+    )
+
+
+def trace(
+    sd: SceneData,
+    o,
+    d,
+    pixel_ids,
+    sample_ids,
+    seed,
+    max_depth: int,
+    use_pallas: bool = False,
+    differentiable: bool = False,
+):
+    """Integrate radiance for a wavefront of primary rays -> (R, 3).
+
+    Lockstep bounce loop — the direct unrolling of the reference recursion.
+    ``differentiable=False`` uses a while_loop with early exit once every
+    ray died (fast forward-only path); ``differentiable=True`` uses a
+    static-trip-count scan so reverse-mode autodiff works (while_loop has
+    no transpose rule). Identical results either way.
+    """
     r = o.shape[0]
     throughput0 = jnp.ones((r, 3), jnp.float32)
     radiance0 = jnp.zeros((r, 3), jnp.float32)
     alive0 = jnp.ones((r,), bool)
     bounce0 = jnp.int32(0)
 
-    def cond(state):
-        bounce, _, _, _, _, alive = state
-        return (bounce < max_depth) & jnp.any(alive)
-
     def body(state):
         bounce, o_c, d_c, throughput, radiance, alive = state
-        h = intersect_scene(sd, o_c, d_c)
-        hit = h["hit"] & alive
-        miss = alive & ~h["hit"]
-
-        sky = sky_mod.radiance(sd.sky_kind, sd.sky_image, d_c)
-        radiance = radiance + jnp.where(miss[:, None], throughput * sky, 0.0)
-
-        mat = h["mat"]
-        emission = jnp.take(sd.mat_emission, mat, axis=0)
-        radiance = radiance + jnp.where(hit[:, None], throughput * emission, 0.0)
-
-        albedo = tex_mod.value(
-            sd.tex, jnp.take(sd.mat_tex, mat, axis=0), h["u"], h["v"], h["point"]
+        s = bounce_step(sd, o_c, d_c, pixel_ids, sample_ids, bounce, seed, use_pallas)
+        radiance = radiance + jnp.where(
+            alive[:, None], throughput * s["contrib"], 0.0
         )
-        u_dir1, u_dir2, u_decide = crng.uniform3(
-            pixel_ids,
-            sample_ids,
-            jnp.uint32(crng.STREAM_BOUNCE_BASE) + bounce.astype(jnp.uint32),
-            seed,
-        )
-        new_dir, atten, scattered = mat_mod.scatter(
-            jnp.take(sd.mat_type, mat, axis=0),
-            jnp.take(sd.mat_fuzz, mat, axis=0),
-            jnp.take(sd.mat_ior, mat, axis=0),
-            jnp.take(sd.mat_prob, mat, axis=0),
-            albedo,
-            d_c,
-            h["normal"],
-            h["front"],
-            u_dir1,
-            u_dir2,
-            u_decide,
-        )
-        new_alive = hit & scattered
-        throughput = jnp.where(new_alive[:, None], throughput * atten, throughput)
-        o_c = jnp.where(new_alive[:, None], h["point"], o_c)
-        d_c = jnp.where(new_alive[:, None], new_dir, d_c)
+        new_alive = alive & s["hit"] & s["scattered"]
+        throughput = jnp.where(new_alive[:, None], throughput * s["atten"], throughput)
+        o_c = jnp.where(new_alive[:, None], s["new_o"], o_c)
+        d_c = jnp.where(new_alive[:, None], s["new_d"], d_c)
         return bounce + 1, o_c, d_c, throughput, radiance, new_alive
 
     state = (bounce0, o, d, throughput0, radiance0, alive0)
-    _, _, _, _, radiance, _ = jax.lax.while_loop(cond, body, state)
-    return radiance
+    if differentiable:
+        def scan_body(state, _):
+            return body(state), None
+
+        state, _ = jax.lax.scan(scan_body, state, None, length=max_depth)
+    else:
+        def cond(state):
+            bounce, _, _, _, _, alive = state
+            return (bounce < max_depth) & jnp.any(alive)
+
+        state = jax.lax.while_loop(cond, body, state)
+    return state[4]
+
+
+def trace_persistent(
+    sd: SceneData,
+    cp,
+    width: int,
+    height: int,
+    spp: int,
+    max_depth: int,
+    seed,
+    lanes: int = 0,
+    use_pallas: bool = True,
+):
+    """Persistent-wavefront path tracer with lane-local sample regeneration.
+
+    The TPU answer to ray compaction (SURVEY.md §7 "Wavefront integrator"):
+    every vector lane is PERMANENTLY bound to one pixel and walks that
+    pixel's spp samples sequentially. When a lane's path dies (sky hit,
+    absorption, depth exhausted) it immediately starts the pixel's next
+    sample — no global work queue, no prefix sums, and crucially NO
+    scatter-adds into a framebuffer (TPU scatters are slow): each lane
+    accumulates privately and the framebuffer is just the accumulator array.
+
+    Lane utilization is governed by path-length variance *summed over spp
+    samples*, which concentrates sharply (CLT), so busy work stays ~100%
+    except in the final tail. Because every random number is a pure hash of
+    (pixel, sample, bounce) (utils/rng.py), the image is identical to
+    :func:`trace` over the same sample set, up to f32 summation order.
+
+    ``lanes`` is ignored (kept for API stability); the lane count is the
+    pixel count padded to the pallas ray tile.
+
+    Returns the per-pixel radiance SUM (num_pixels, 3); divide by spp.
+    """
+    del lanes
+    num_pixels = width * height
+    r = ((num_pixels + 511) // 512) * 512  # pallas TILE_RAYS alignment
+
+    pix = (jnp.arange(r, dtype=jnp.uint32)) % num_pixels
+    # Padding lanes (>= num_pixels) start exhausted so they add nothing.
+    pad = jnp.arange(r) >= num_pixels
+
+    acc0 = jnp.zeros((r, 3), jnp.float32)
+    sample0 = jnp.where(pad, spp, 0).astype(jnp.uint32)
+    alive0 = jnp.zeros((r,), bool)
+    bounce0 = jnp.zeros((r,), jnp.int32)
+    o0 = jnp.zeros((r, 3), jnp.float32)
+    d0 = jnp.ones((r, 3), jnp.float32)
+    thr0 = jnp.zeros((r, 3), jnp.float32)
+
+    def cond(state):
+        sample_i, alive, *_ = state
+        return jnp.any(alive | (sample_i < spp))
+
+    def body(state):
+        sample_i, alive, bounce, o, d, thr, acc = state
+
+        # --- lane-local regeneration: next sample of this lane's pixel ----
+        issue = (~alive) & (sample_i < spp)
+        no, nd, _ = generate_rays(cp, width, height, pix, sample_i, seed)
+        o = jnp.where(issue[:, None], no, o)
+        d = jnp.where(issue[:, None], nd, d)
+        thr = jnp.where(issue[:, None], 1.0, thr)
+        bounce = jnp.where(issue, 0, bounce)
+        alive = alive | issue
+
+        # The sample id that rays in flight belong to (issued now or earlier).
+        smp = jnp.where(alive & ~issue, sample_i - 1, sample_i)
+        smp_next = jnp.where(issue, sample_i + 1, sample_i)
+
+        # --- one bounce for every lane ------------------------------------
+        s = bounce_step(sd, o, d, pix, smp, bounce, seed, use_pallas)
+        acc = acc + jnp.where(alive[:, None], thr * s["contrib"], 0.0)
+
+        cont = alive & s["hit"] & s["scattered"] & (bounce + 1 < max_depth)
+        thr = jnp.where(cont[:, None], thr * s["atten"], thr)
+        o = jnp.where(cont[:, None], s["new_o"], o)
+        d = jnp.where(cont[:, None], s["new_d"], d)
+        bounce = bounce + 1
+        return smp_next, cont, bounce, o, d, thr, acc
+
+    state = (sample0, alive0, bounce0, o0, d0, thr0, acc0)
+    *_, acc = jax.lax.while_loop(cond, body, state)
+    return acc[:num_pixels]
 
 
 def render_rays(
@@ -179,7 +325,12 @@ def render_rays(
     sample_ids,
     seed,
     max_depth: int,
+    use_pallas: bool = False,
+    differentiable: bool = False,
 ):
     """Primary-ray generation + path tracing for (pixel, sample) pairs."""
     o, d, _times = generate_rays(cp, width, height, pixel_ids, sample_ids, seed)
-    return trace(sd, o, d, pixel_ids, sample_ids, seed, max_depth)
+    return trace(
+        sd, o, d, pixel_ids, sample_ids, seed, max_depth,
+        use_pallas=use_pallas, differentiable=differentiable,
+    )

@@ -83,7 +83,8 @@ def scatter(
     ud = vec.unit(d_in, eps=1e-20)
     ri = jnp.where(front_face, 1.0 / ior, ior)
     cos_theta = jnp.minimum(vec.dot(-ud, normal), 1.0)
-    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    # 1e-12 floor keeps d(sqrt) finite at grazing/normal incidence for AD.
+    sin_theta = jnp.sqrt(jnp.maximum(1.0e-12, 1.0 - cos_theta * cos_theta))
     cannot_refract = ri * sin_theta > 1.0
     reflect_choice = cannot_refract | (schlick(cos_theta, ri) > u_decide)
     die_dir = jnp.where(

@@ -71,6 +71,63 @@ def default_rays_per_pass() -> int:
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_depth", "lanes", "use_pallas"),
+    donate_argnums=(),
+)
+def _render_persistent(
+    sd: SceneData,
+    cp: CameraParams,
+    seed,
+    *,
+    width: int,
+    height: int,
+    spp: int,
+    max_depth: int,
+    lanes: int,
+    use_pallas: bool,
+):
+    return integrator.trace_persistent(
+        sd, cp, width, height, spp, max_depth, seed, lanes, use_pallas
+    )
+
+
+def render_image_persistent(
+    sd: SceneData,
+    cp: CameraParams,
+    width: int,
+    height: int,
+    samples: int,
+    max_depth: int,
+    seed: int,
+    lanes: int | None = None,
+    use_pallas: bool | None = None,
+) -> np.ndarray:
+    """Whole-image render in ONE device dispatch via the persistent
+    wavefront (integrator.trace_persistent). The production TPU path."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    if lanes is None:
+        lanes = 1 << 19 if jax.default_backend() != "cpu" else 1 << 13
+    total = width * height * samples
+    # Lane count: multiple of the pallas ray tile, no bigger than the work.
+    lanes = min(lanes, max(512, ((total + 511) // 512) * 512))
+    lanes = ((lanes + 511) // 512) * 512
+    fb = _render_persistent(
+        sd,
+        cp,
+        jnp.uint32(seed),
+        width=width,
+        height=height,
+        spp=samples,
+        max_depth=max_depth,
+        lanes=lanes,
+        use_pallas=use_pallas,
+    )
+    return np.asarray(fb).reshape(height, width, 3) / np.float32(samples)
+
+
 def render_image(
     scene: Scene,
     samples: int | None = None,
@@ -78,6 +135,7 @@ def render_image(
     seed: int | None = None,
     rays_per_pass: int | None = None,
     verbose: bool = False,
+    mode: str = "auto",
 ) -> np.ndarray:
     """Render the scene's camera view -> linear radiance (H, W, 3) float32."""
     sd = scene.build()
@@ -92,6 +150,7 @@ def render_image(
         seed if seed is not None else scene.seed,
         rays_per_pass,
         verbose=verbose,
+        mode=mode,
     )
 
 
@@ -105,7 +164,17 @@ def render_image_data(
     seed: int,
     rays_per_pass: int | None = None,
     verbose: bool = False,
+    mode: str = "auto",
 ) -> np.ndarray:
+    """Render driver. ``mode``: 'persistent' (one-dispatch wavefront with
+    ray regeneration — default on accelerators), 'tiled' (lockstep tiles —
+    default on CPU, also the semantic reference), or 'auto'."""
+    if mode == "auto":
+        mode = "persistent" if jax.default_backend() != "cpu" else "tiled"
+    if mode == "persistent":
+        return render_image_persistent(
+            sd, cp, width, height, samples, max_depth, seed
+        )
     rpp = rays_per_pass or default_rays_per_pass()
     num_pixels = width * height
     tile_pixels = max(1, min(num_pixels, rpp))

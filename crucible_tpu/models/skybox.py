@@ -37,8 +37,8 @@ def spherical(image: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     then the same clamp + v-flip image mapping as textures
     (src/scene/mod.rs:37-45)."""
     ud = vec.unit(d, eps=1e-20)
-    theta = jnp.arctan2(ud[..., 0], ud[..., 2])
-    phi = jnp.arcsin(jnp.clip(ud[..., 1], -1.0, 1.0))
+    theta = vec.safe_arctan2(ud[..., 0], ud[..., 2])
+    phi = vec.safe_arcsin(ud[..., 1])
     u = theta / (2.0 * jnp.pi) + 0.5
     v = phi / jnp.pi + 0.5
     return image_lookup(image, u, v)

@@ -57,6 +57,35 @@ def near_zero(a: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     return jnp.all(jnp.abs(a) < eps, axis=-1)
 
 
+def safe_arccos(x: jnp.ndarray) -> jnp.ndarray:
+    """arccos with finite reverse-mode gradients at |x| >= 1.
+
+    Forward value is exact (clamped arccos); the boundary branch is selected
+    from CONSTANTS so the backward pass never multiplies 0 * inf into NaN.
+    """
+    inside = jnp.abs(x) < 1.0
+    x_safe = jnp.where(inside, x, 0.0)
+    boundary = jnp.where(x >= 1.0, 0.0, jnp.pi)
+    return jnp.where(inside, jnp.arccos(x_safe), boundary)
+
+
+def safe_arcsin(x: jnp.ndarray) -> jnp.ndarray:
+    """arcsin with finite reverse-mode gradients at |x| >= 1 (see
+    safe_arccos)."""
+    inside = jnp.abs(x) < 1.0
+    x_safe = jnp.where(inside, x, 0.0)
+    boundary = jnp.where(x >= 1.0, jnp.pi / 2.0, -jnp.pi / 2.0)
+    return jnp.where(inside, jnp.arcsin(x_safe), boundary)
+
+
+def safe_arctan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """arctan2 whose gradient is zeroed (not NaN) at the (0, 0) pole."""
+    pole = (jnp.abs(x) < 1e-20) & (jnp.abs(y) < 1e-20)
+    x_safe = jnp.where(pole, 1.0, x)
+    y_safe = jnp.where(pole, 0.0, y)
+    return jnp.arctan2(y_safe, x_safe)
+
+
 def reflect(v: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     """Mirror reflection of v about unit normal n. Reference: src/utils.rs:151-155."""
     return v - 2.0 * dot(v, n)[..., None] * n
@@ -71,7 +100,12 @@ def refract(uv: jnp.ndarray, n: jnp.ndarray, etai_over_etat: jnp.ndarray) -> jnp
     cos_theta = jnp.minimum(dot(-uv, n), 1.0)
     eta = jnp.asarray(etai_over_etat)
     r_out_perp = eta[..., None] * (uv + cos_theta[..., None] * n)
+    # abs + tiny floor: keeps d(sqrt) finite at total internal reflection
+    # boundaries under reverse-mode AD.
     r_out_parallel = (
-        -jnp.sqrt(jnp.abs(1.0 - length_squared(r_out_perp)))[..., None] * n
+        -jnp.sqrt(jnp.maximum(jnp.abs(1.0 - length_squared(r_out_perp)), 1e-12))[
+            ..., None
+        ]
+        * n
     )
     return r_out_perp + r_out_parallel
