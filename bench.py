@@ -1,0 +1,102 @@
+"""Driver benchmark: forward (and backward) path-tracing throughput on the
+flagship book1 scene (BASELINE.md north star: fwd+bwd rays/sec/chip at
+book1 1920x1080x500spp).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+The reference publishes no numbers (BASELINE.json "published": {}), so
+``vs_baseline`` compares against the previous round's recorded result
+(BENCH_r*.json) when present, else 1.0.
+
+Env knobs: BENCH_WIDTH (default 1920), BENCH_SPP (default 32 — full 500spp
+scales linearly; spp only changes wall-clock, not rays/sec), BENCH_DEPTH
+(default 50), BENCH_GRAD=0 to skip the backward component.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import time
+
+
+def main() -> None:
+    width = int(os.environ.get("BENCH_WIDTH", 1920))
+    spp = int(os.environ.get("BENCH_SPP", 32))
+    depth = int(os.environ.get("BENCH_DEPTH", 50))
+    do_grad = os.environ.get("BENCH_GRAD", "1") != "0"
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crucible_tpu.models import demo, render
+    from crucible_tpu import grad as grad_mod
+
+    sc = demo.book1_end_scene(width=width)
+    sd = sc.build()
+    cp = sc.scene_cam.params()
+    w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
+
+    # --- forward: persistent wavefront, one warmup (compile) + timed run --
+    render.render_image_persistent(sd, cp, w, h, 2, depth, 0)
+    t0 = time.time()
+    img = render.render_image_persistent(sd, cp, w, h, spp, depth, 1)
+    fwd_s = time.time() - t0
+    fwd_rays = w * h * spp
+    fwd_rps = fwd_rays / fwd_s
+    assert np.isfinite(img).all()
+
+    # --- backward: value_and_grad over a pixel batch ----------------------
+    bwd_rps = None
+    if do_grad:
+        bw, bh, bspp, bdepth = 192, 108, 4, 8
+        pix = jnp.arange(bw * bh, dtype=jnp.uint32)
+        target = jnp.zeros((bw * bh, 3), jnp.float32)
+        params = grad_mod.extract_params(sd, cp)
+        kw = dict(width=bw, height=bh, spp=bspp, max_depth=bdepth)
+        loss, grads = grad_mod.loss_and_grad(
+            params, sd, cp, target, pix, jnp.uint32(0), **kw
+        )
+        jax.block_until_ready(grads)
+        t0 = time.time()
+        loss, grads = grad_mod.loss_and_grad(
+            params, sd, cp, target, pix, jnp.uint32(1), **kw
+        )
+        jax.block_until_ready(grads)
+        np.asarray(loss)
+        bwd_s = time.time() - t0
+        bwd_rps = bw * bh * bspp / bwd_s
+
+    # --- vs_baseline: previous round's recorded bench ---------------------
+    vs = 1.0
+    prev = sorted(glob.glob("BENCH_r*.json"))
+    if prev:
+        try:
+            with open(prev[-1]) as f:
+                prev_val = json.load(f).get("value")
+            if prev_val:
+                vs = fwd_rps / float(prev_val)
+        except Exception:
+            pass
+
+    out = {
+        "metric": f"book1_{width}w_fwd_primary_rays_per_sec",
+        "value": round(fwd_rps, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(vs, 3),
+        "spp": spp,
+        "depth": depth,
+        "fwd_seconds": round(fwd_s, 2),
+        "backend": jax.default_backend(),
+    }
+    if bwd_rps is not None:
+        out["fwd_bwd_rays_per_sec"] = round(bwd_rps, 1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,9 +29,16 @@ from crucible_tpu.utils import vec
 
 @struct.dataclass
 class CameraParams:
-    """Differentiable camera parameters (all jnp scalars / 3-vectors)."""
+    """Differentiable camera parameters (all jnp scalars / 3-vectors).
 
-    look_from: jnp.ndarray  # (3,)
+    Animated cameras carry shutter-motion deltas: the camera position at a
+    ray's stochastic shutter fraction w in [0,1) is
+    ``look_from + w * look_from_d`` (piecewise-linear within the shutter
+    window — exact for the timeline's LERP/NERP tracks unless a keyframe
+    falls inside one frame's shutter; see models/timeline.py).
+    """
+
+    look_from: jnp.ndarray  # (3,) at shutter open
     look_at: jnp.ndarray  # (3,)
     vup: jnp.ndarray  # (3,)
     vfov_rad: jnp.ndarray  # ()
@@ -39,6 +46,9 @@ class CameraParams:
     focus_dist: jnp.ndarray  # ()
     frame_time: jnp.ndarray  # () = frame / frame_rate
     shutter_length: jnp.ndarray  # () = (shutter_angle/360) / frame_rate
+    look_from_d: jnp.ndarray = None  # (3,) shutter-close minus shutter-open
+    look_at_d: jnp.ndarray = None  # (3,)
+    animated: bool = struct.field(pytree_node=False, default=False)
 
 
 def generate_rays(
@@ -71,40 +81,48 @@ def generate_rays(
 
     times = cp.frame_time + u_t * cp.shutter_length
 
-    # Camera basis (rendering_compute.rs:76-92). Static within a frame here;
-    # timeline-animated from/at (motion-blurred camera) re-evaluates these
-    # per ray at `times` — see models/timeline.py integration.
-    w = vec.unit(cp.look_from - cp.look_at, eps=1e-12)
-    u = vec.unit(jnp.cross(cp.vup, w), eps=1e-12)
+    # Camera basis (rendering_compute.rs:76-92). For timeline-animated
+    # cameras (motion blur) the basis is re-derived PER RAY at the ray's
+    # shutter fraction — the vectorized form of the reference recomputing
+    # u/v/w per call at the ray time.
+    if cp.animated:
+        w01 = u_t[:, None]  # (R, 1)
+        lf = cp.look_from[None, :] + w01 * cp.look_from_d[None, :]  # (R, 3)
+        la = cp.look_at[None, :] + w01 * cp.look_at_d[None, :]
+    else:
+        lf = cp.look_from  # (3,)
+        la = cp.look_at
+    w = vec.unit(lf - la, eps=1e-12)
+    u = vec.unit(jnp.cross(jnp.broadcast_to(cp.vup, w.shape), w), eps=1e-12)
     v = jnp.cross(w, u)
 
     h = jnp.tan(cp.vfov_rad / 2.0)
     viewport_h = 2.0 * h * cp.focus_dist
     viewport_w = viewport_h * (width / height)
 
-    viewport_u = viewport_w * u  # horizontal edge
+    viewport_u = viewport_w * u  # horizontal edge, (..., 3)
     viewport_v = viewport_h * (-v)  # vertical edge, image-down
     du = viewport_u / width
     dv = viewport_v / height
-    upper_left = cp.look_from - cp.focus_dist * w - viewport_u / 2.0 - viewport_v / 2.0
-    pixel00 = upper_left + 0.5 * (du + dv)
+    pixel00 = lf - cp.focus_dist * w - 0.5 * (width - 1) * du - 0.5 * (height - 1) * dv
 
     offset = sampling.square_offset(ux, uy)  # (R, 2)
     pixel_pos = (
-        pixel00[None, :]
-        + (i + offset[:, 0])[:, None] * du[None, :]
-        + (j + offset[:, 1])[:, None] * dv[None, :]
+        pixel00
+        + (i + offset[:, 0])[:, None] * du
+        + (j + offset[:, 1])[:, None] * dv
     )
 
     defocus_radius = cp.focus_dist * jnp.tan(cp.defocus_angle_rad / 2.0)
     disk = sampling.in_unit_disk(ud1, ud2)  # (R, 2)
     defocus_origin = (
-        cp.look_from[None, :]
-        + (disk[:, 0] * defocus_radius)[:, None] * u[None, :]
-        + (disk[:, 1] * defocus_radius)[:, None] * v[None, :]
+        lf
+        + (disk[:, 0] * defocus_radius)[:, None] * u
+        + (disk[:, 1] * defocus_radius)[:, None] * v
     )
     use_defocus = cp.defocus_angle_rad > 0.0
-    origins = jnp.where(use_defocus, defocus_origin, cp.look_from[None, :])
+    origins = jnp.where(use_defocus, defocus_origin, lf)
+    origins = jnp.broadcast_to(origins, pixel_pos.shape)
     dirs = pixel_pos - origins
     return origins, dirs, times
 
@@ -188,18 +206,39 @@ class Camera:
     def frame_time(self) -> float:
         return self.frame * (1.0 / self.frame_rate)
 
+    def shutter_window(self) -> tuple:
+        t_open = self.frame_time()
+        return t_open, t_open + (self.shutter_angle / 360.0) / self.frame_rate
+
     def params(self) -> CameraParams:
+        t_open, t_close = self.shutter_window()
+        animated = self.from_timeline is not None or self.at_timeline is not None
+        if self.from_timeline is not None:
+            from_a = self.from_timeline.position_at(t_open)
+            from_b = self.from_timeline.position_at(t_close)
+        else:
+            from_a = from_b = self.look_from_pt
+        if self.at_timeline is not None:
+            at_a = self.at_timeline.position_at(t_open)
+            at_b = self.at_timeline.position_at(t_close)
+        else:
+            at_a = at_b = self.look_at_pt
+        import numpy as np
+
         return CameraParams(
-            look_from=jnp.asarray(self.look_from_pt, jnp.float32),
-            look_at=jnp.asarray(self.look_at_pt, jnp.float32),
+            look_from=jnp.asarray(from_a, jnp.float32),
+            look_at=jnp.asarray(at_a, jnp.float32),
             vup=jnp.asarray(self.vup, jnp.float32),
             vfov_rad=jnp.asarray(math.radians(self.vfov_deg), jnp.float32),
             defocus_angle_rad=jnp.asarray(
                 math.radians(self.defocus_angle_deg), jnp.float32
             ),
             focus_dist=jnp.asarray(self.focus_dist, jnp.float32),
-            frame_time=jnp.asarray(self.frame_time(), jnp.float32),
+            frame_time=jnp.asarray(t_open, jnp.float32),
             shutter_length=jnp.asarray(
                 (self.shutter_angle / 360.0) / self.frame_rate, jnp.float32
             ),
+            look_from_d=jnp.asarray(np.subtract(from_b, from_a), jnp.float32),
+            look_at_d=jnp.asarray(np.subtract(at_b, at_a), jnp.float32),
+            animated=animated,
         )

@@ -41,7 +41,7 @@ T_MIN = 1.0e-3  # shadow-acne epsilon (src/camera/ray_casting.rs:119)
 BIG = intersect.BIG
 
 
-def intersect_scene(sd: SceneData, o, d, use_pallas: bool = False):
+def intersect_scene(sd: SceneData, o, d, use_pallas: bool = False, w=None):
     """Closest hit against all scene primitives.
 
     ``use_pallas`` routes sphere intersection through the fused VMEM kernel
@@ -53,7 +53,22 @@ def intersect_scene(sd: SceneData, o, d, use_pallas: bool = False):
       front (bool), u, v, mat (int32).
     """
     r = o.shape[0]
-    if use_pallas:
+    animated = sd.animated
+    if animated:
+        assert w is not None, "animated scenes need per-ray shutter fractions"
+        t_s, i_s, hit_s = intersect.hit_spheres_moving(
+            o,
+            d,
+            w,
+            sd.sph_center,
+            sd.sph_center_d,
+            sd.sph_radius,
+            sd.sph_radius_d,
+            sd.sph_active,
+            T_MIN,
+            jnp.inf,
+        )
+    elif use_pallas:
         from crucible_tpu.ops.pallas.sphere_hit import hit_spheres_pallas
 
         csr = jnp.sum(sd.sph_center * sd.sph_center, -1) - sd.sph_radius * sd.sph_radius
@@ -65,7 +80,13 @@ def intersect_scene(sd: SceneData, o, d, use_pallas: bool = False):
             o, d, sd.sph_center, sd.sph_radius, sd.sph_active, T_MIN, jnp.inf
         )
 
+    moving_tris = animated and sd.tri_v0_d is not None
     if sd.num_tris > 0:
+        motion = (
+            dict(v0d=sd.tri_v0_d, v1d=sd.tri_v1_d, v2d=sd.tri_v2_d, w=w)
+            if moving_tris
+            else {}
+        )
         if sd.use_bvh:
             t_t, i_t, hit_t = bvh_hit_triangles(
                 o,
@@ -81,10 +102,12 @@ def intersect_scene(sd: SceneData, o, d, use_pallas: bool = False):
                 T_MIN,
                 BIG,
                 sd.bvh_leaf_size,
+                **motion,
             )
         else:
             t_t, i_t, hit_t = intersect.hit_triangles(
-                o, d, sd.tri_v0, sd.tri_v1, sd.tri_v2, sd.tri_active, T_MIN, jnp.inf
+                o, d, sd.tri_v0, sd.tri_v1, sd.tri_v2, sd.tri_active, T_MIN, jnp.inf,
+                **motion,
             )
         is_tri = hit_t & (t_t < t_s)
     else:
@@ -103,6 +126,9 @@ def intersect_scene(sd: SceneData, o, d, use_pallas: bool = False):
     # Sphere shading attributes (src/objects/sphere.rs:95-105).
     c_w = jnp.take(sd.sph_center, i_s, axis=0)
     r_w = jnp.take(sd.sph_radius, i_s, axis=0)
+    if animated:
+        c_w = c_w + w[:, None] * jnp.take(sd.sph_center_d, i_s, axis=0)
+        r_w = r_w + w * jnp.take(sd.sph_radius_d, i_s, axis=0)
     n_sph = (point - c_w) / jnp.maximum(r_w, 1e-20)[:, None]
     u_sph, v_sph = intersect.sphere_uv(n_sph)
 
@@ -110,6 +136,10 @@ def intersect_scene(sd: SceneData, o, d, use_pallas: bool = False):
         a = jnp.take(sd.tri_v0, i_t, axis=0)
         b = jnp.take(sd.tri_v1, i_t, axis=0)
         c = jnp.take(sd.tri_v2, i_t, axis=0)
+        if moving_tris:
+            a = a + w[:, None] * jnp.take(sd.tri_v0_d, i_t, axis=0)
+            b = b + w[:, None] * jnp.take(sd.tri_v1_d, i_t, axis=0)
+            c = c + w[:, None] * jnp.take(sd.tri_v2_d, i_t, axis=0)
         n_tri = intersect.triangle_normal(a, b, c)
         n_out = jnp.where(is_tri[:, None], n_tri, n_sph)
         mat = jnp.where(
@@ -140,7 +170,14 @@ def bounce_step(sd: SceneData, o, d, pixel_ids, sample_ids, bounce, seed, use_pa
       hit (R,) bool, scattered (R,) bool
       new_o, new_d (R, 3), atten (R, 3)
     """
-    h = intersect_scene(sd, o, d, use_pallas=use_pallas)
+    if sd.animated:
+        # Per-ray shutter fraction — same hash as the camera's time sample,
+        # so scattered rays inherit the primary ray's time (reference:
+        # Ray::new_at_time(.., r_in.time()), materials/*.rs).
+        w = crng.uniform1(pixel_ids, sample_ids, crng.STREAM_TIME, seed)
+    else:
+        w = None
+    h = intersect_scene(sd, o, d, use_pallas=use_pallas, w=w)
     hit = h["hit"]
 
     sky = sky_mod.radiance(sd.sky_kind, sd.sky_image, d)
@@ -259,21 +296,28 @@ def trace_persistent(
     (pixel, sample, bounce) (utils/rng.py), the image is identical to
     :func:`trace` over the same sample set, up to f32 summation order.
 
-    ``lanes`` is ignored (kept for API stability); the lane count is the
-    pixel count padded to the pallas ray tile.
+    ``lanes`` is a TARGET lane count: the pixel grid is replicated into
+    G = ceil(lanes / pixels) SAMPLE GROUPS (clamped to spp) — lane (g, p)
+    traces pixel p's samples g, g+G, g+2G, ... This saturates the chip on
+    small images AND shortens the serial tail (each lane sums ~spp/G path
+    lengths, so the max-over-lanes concentrates). Group accumulators reduce
+    with one reshape-sum at the end — still no scatter.
 
     Returns the per-pixel radiance SUM (num_pixels, 3); divide by spp.
     """
-    del lanes
     num_pixels = width * height
-    r = ((num_pixels + 511) // 512) * 512  # pallas TILE_RAYS alignment
+    groups = max(1, min(spp, (max(lanes, 1) + num_pixels - 1) // num_pixels))
+    p_pad = ((num_pixels + 511) // 512) * 512  # pallas TILE_RAYS alignment
+    r = groups * p_pad
 
-    pix = (jnp.arange(r, dtype=jnp.uint32)) % num_pixels
-    # Padding lanes (>= num_pixels) start exhausted so they add nothing.
-    pad = jnp.arange(r) >= num_pixels
+    lane = jnp.arange(r, dtype=jnp.uint32)
+    pix = jnp.minimum(lane % p_pad, num_pixels - 1)
+    grp = lane // p_pad
+    # Padding lanes (pixel slot >= num_pixels) start exhausted.
+    pad = (lane % p_pad) >= num_pixels
 
     acc0 = jnp.zeros((r, 3), jnp.float32)
-    sample0 = jnp.where(pad, spp, 0).astype(jnp.uint32)
+    sample0 = jnp.where(pad, spp, grp).astype(jnp.uint32)
     alive0 = jnp.zeros((r,), bool)
     bounce0 = jnp.zeros((r,), jnp.int32)
     o0 = jnp.zeros((r, 3), jnp.float32)
@@ -287,7 +331,7 @@ def trace_persistent(
     def body(state):
         sample_i, alive, bounce, o, d, thr, acc = state
 
-        # --- lane-local regeneration: next sample of this lane's pixel ----
+        # --- lane-local regeneration: this lane's next sample -------------
         issue = (~alive) & (sample_i < spp)
         no, nd, _ = generate_rays(cp, width, height, pix, sample_i, seed)
         o = jnp.where(issue[:, None], no, o)
@@ -297,8 +341,8 @@ def trace_persistent(
         alive = alive | issue
 
         # The sample id that rays in flight belong to (issued now or earlier).
-        smp = jnp.where(alive & ~issue, sample_i - 1, sample_i)
-        smp_next = jnp.where(issue, sample_i + 1, sample_i)
+        smp = jnp.where(alive & ~issue, sample_i - groups, sample_i)
+        smp_next = jnp.where(issue, sample_i + groups, sample_i)
 
         # --- one bounce for every lane ------------------------------------
         s = bounce_step(sd, o, d, pix, smp, bounce, seed, use_pallas)
@@ -313,7 +357,7 @@ def trace_persistent(
 
     state = (sample0, alive0, bounce0, o0, d0, thr0, acc0)
     *_, acc = jax.lax.while_loop(cond, body, state)
-    return acc[:num_pixels]
+    return acc.reshape(groups, p_pad, 3).sum(axis=0)[:num_pixels]
 
 
 def render_rays(

@@ -230,6 +230,14 @@ class SceneData:
     bvh_count: jnp.ndarray
     bvh_miss: jnp.ndarray
 
+    # Linear shutter-motion deltas (None for static scenes): position at the
+    # per-ray shutter fraction w is base + w * delta (models/timeline.py).
+    sph_center_d: jnp.ndarray = None  # (N, 3)
+    sph_radius_d: jnp.ndarray = None  # (N,)
+    tri_v0_d: jnp.ndarray = None  # (M, 3)
+    tri_v1_d: jnp.ndarray = None
+    tri_v2_d: jnp.ndarray = None
+
     # --- static metadata ---------------------------------------------------
     sky_kind: int = struct.field(pytree_node=False, default=sky_mod.DEFAULT)
     num_spheres: int = struct.field(pytree_node=False, default=0)
@@ -378,6 +386,7 @@ class Scene:
         self.frame_rate = frame_rate
         self.seed = seed
         self._cache: Optional[SceneData] = None
+        self._cache_key = None
 
     # --- constructors mirroring the reference ------------------------------
     @classmethod
@@ -446,12 +455,177 @@ class Scene:
     def show_element(self, alias: str) -> None:
         self._set_hidden(alias, False)
 
+    # --- animation (src/scene/scene_animator.rs surface) --------------------
+    def _check_alias(self, alias: str, invalid_types) -> int:
+        """Alias lookup + object type check (scene_animator.rs:13-31)."""
+        info = self.id_vendor.alias_lookup(alias)
+        if info is None:
+            raise KeyError(f"unknown alias {alias!r}")
+        oid, o_type = info
+        if o_type in invalid_types:
+            raise TypeError(f"animation not valid for object type {o_type!r} ({alias!r})")
+        return oid
+
+    def _element_timelines(self, oid: int):
+        """Yield (timeline, kind) pairs for every matching element, creating
+        timelines on demand. Triangles get one timeline per VERTEX like the
+        reference (src/objects/triangle.rs:15-17)."""
+        from crucible_tpu.models.timeline import TransformTimeline
+
+        out = []
+        for el in self.elements:
+            if el.id != oid:
+                continue
+            if isinstance(el, Sphere):
+                if el.timeline is None:
+                    el.timeline = TransformTimeline(
+                        init_pos=tuple(el.center), init_scale=float(el.radius)
+                    )
+                out.append(el.timeline)
+            else:
+                if el.timelines is None:
+                    el.timelines = (
+                        TransformTimeline(init_pos=tuple(el.v0), init_scale=1.0),
+                        TransformTimeline(init_pos=tuple(el.v1), init_scale=1.0),
+                        TransformTimeline(init_pos=tuple(el.v2), init_scale=1.0),
+                    )
+                out.extend(el.timelines)
+        self._cache = None
+        return out
+
+    def translate_x(self, x, keyframe, interp, space, alias):
+        oid = self._check_alias(alias, [CAMERA_TYPE])
+        for tl in self._element_timelines(oid):
+            tl.translate_x(x, keyframe, interp, space)
+
+    def translate_y(self, y, keyframe, interp, space, alias):
+        oid = self._check_alias(alias, [CAMERA_TYPE])
+        for tl in self._element_timelines(oid):
+            tl.translate_y(y, keyframe, interp, space)
+
+    def translate_z(self, z, keyframe, interp, space, alias):
+        oid = self._check_alias(alias, [CAMERA_TYPE])
+        for tl in self._element_timelines(oid):
+            tl.translate_z(z, keyframe, interp, space)
+
+    def translate_point(self, p, keyframe, interp, space, alias):
+        oid = self._check_alias(alias, [CAMERA_TYPE])
+        for tl in self._element_timelines(oid):
+            tl.translate_point(p, keyframe, interp, space)
+
+    def scale_r(self, r, keyframe, interp, alias):
+        """Sphere radius keyframe — spheres only
+        (scene_animator.rs:140-173 rejects meshes/triangles)."""
+        oid = self._check_alias(alias, [CAMERA_TYPE, MESH_TYPE, TRIANGLE_TYPE])
+        for tl in self._element_timelines(oid):
+            tl.scale_r(r, keyframe, interp)
+
+    def scale_x(self, f, keyframe, interp, alias):
+        """Per-axis scale — triangles/meshes only
+        (scene_animator.rs:38-134 rejects spheres). The reference's scale_y
+        m21 shear defect is NOT replicated (SURVEY.md §2.6)."""
+        oid = self._check_alias(alias, [CAMERA_TYPE, SPHERE_TYPE])
+        for tl in self._element_timelines(oid):
+            tl.scale_x(f, keyframe, interp)
+
+    def scale_y(self, f, keyframe, interp, alias):
+        oid = self._check_alias(alias, [CAMERA_TYPE, SPHERE_TYPE])
+        for tl in self._element_timelines(oid):
+            tl.scale_y(f, keyframe, interp)
+
+    def scale_z(self, f, keyframe, interp, alias):
+        oid = self._check_alias(alias, [CAMERA_TYPE, SPHERE_TYPE])
+        for tl in self._element_timelines(oid):
+            tl.scale_z(f, keyframe, interp)
+
+    def scale_point(self, p, keyframe, interp, alias):
+        """Vector-valued scale keyframe. One key (not three sibling
+        transforms whose most-recent-wins keeps only Z, as in the
+        reference's composite — documented fix, models/timeline.py)."""
+        oid = self._check_alias(alias, [CAMERA_TYPE, SPHERE_TYPE])
+        for tl in self._element_timelines(oid):
+            tl.scale_x(p[0], keyframe, interp)
+            tl.scale_y(p[1], keyframe, interp)
+            tl.scale_z(p[2], keyframe, interp)
+
+    def scale_all_uniform(self, f, keyframe, interp, alias):
+        oid = self._check_alias(alias, [CAMERA_TYPE, SPHERE_TYPE])
+        for tl in self._element_timelines(oid):
+            tl.scale_uniform(f, keyframe, interp)
+
+    def _cam_timeline(self, which: str):
+        from crucible_tpu.models.timeline import TransformTimeline
+
+        cam = self.scene_cam
+        if which == "from":
+            if cam.from_timeline is None:
+                cam.from_timeline = TransformTimeline(init_pos=cam.look_from_pt)
+            return cam.from_timeline
+        if which == "at":
+            if cam.at_timeline is None:
+                cam.at_timeline = TransformTimeline(init_pos=cam.look_at_pt)
+            return cam.at_timeline
+        raise KeyError(f"camera animation target must be 'from' or 'at', got {which!r}")
+
+    def cam_translate_x(self, x, keyframe, interp, space, which):
+        self._cam_timeline(which).translate_x(x, keyframe, interp, space)
+
+    def cam_translate_y(self, y, keyframe, interp, space, which):
+        self._cam_timeline(which).translate_y(y, keyframe, interp, space)
+
+    def cam_translate_z(self, z, keyframe, interp, space, which):
+        self._cam_timeline(which).translate_z(z, keyframe, interp, space)
+
+    def cam_translate_point(self, p, keyframe, interp, space, which):
+        self._cam_timeline(which).translate_point(p, keyframe, interp, space)
+
+    @property
+    def is_animated(self) -> bool:
+        return any(
+            (isinstance(e, Sphere) and e.timeline is not None and e.timeline.animated)
+            or (
+                isinstance(e, Triangle)
+                and e.timelines is not None
+                and any(t.animated for t in e.timelines)
+            )
+            for e in self.elements
+        )
+
     # --- lowering -----------------------------------------------------------
-    def build(self) -> SceneData:
-        """Lower the element list to a SceneData pytree (cached until the
-        scene is mutated)."""
-        if self._cache is not None:
+    def build(self, t_open: float | None = None, t_close: float | None = None) -> SceneData:
+        """Lower the element list to a SceneData pytree (cached per shutter
+        window until the scene is mutated).
+
+        For animated scenes, geometry is host-evaluated at shutter open and
+        close; the integrator lerps per ray (linear-shutter motion model,
+        models/timeline.py). The reference instead rebuilds its BVH every
+        frame and re-evaluates timelines per ray (src/scene/mod.rs:333).
+        """
+        animated = self.is_animated
+        if animated and t_open is None:
+            t_open, t_close = self.scene_cam.shutter_window()
+        key = (t_open, t_close) if animated else None
+        if self._cache is not None and self._cache_key == key:
             return self._cache
+
+        def sphere_geom(s: Sphere):
+            if animated and s.timeline is not None:
+                ca = s.timeline.position_at(t_open)
+                cb = s.timeline.position_at(t_close)
+                ra = float(s.timeline.scale_at(t_open)[0])
+                rb = float(s.timeline.scale_at(t_close)[0])
+                return ca, cb, ra, rb
+            return s.center, s.center, s.radius, s.radius
+
+        def tri_geom(t: Triangle):
+            if animated and t.timelines is not None:
+                va, vb = [], []
+                for tl in t.timelines:
+                    va.append(tl.scale_at(t_open) * tl.position_at(t_open))
+                    vb.append(tl.scale_at(t_close) * tl.position_at(t_close))
+                return np.asarray(va), np.asarray(vb)
+            v = np.asarray([t.v0, t.v1, t.v2])
+            return v, v
 
         tables = _TableBuilder()
         spheres = [e for e in self.elements if isinstance(e, Sphere)]
@@ -460,12 +634,17 @@ class Scene:
         n = len(spheres)
         n_pad = _pad_to(n, SPHERE_PAD)
         sph_center = np.zeros((n_pad, 3), np.float32)
+        sph_center_b = np.zeros((n_pad, 3), np.float32)
         sph_radius = np.ones((n_pad,), np.float32)
+        sph_radius_b = np.ones((n_pad,), np.float32)
         sph_mat = np.zeros((n_pad,), np.int32)
         sph_active = np.zeros((n_pad,), bool)
         for k, s in enumerate(spheres):
-            sph_center[k] = s.center
-            sph_radius[k] = s.radius
+            ca, cb, ra, rb = sphere_geom(s)
+            sph_center[k] = ca
+            sph_center_b[k] = cb
+            sph_radius[k] = ra
+            sph_radius_b[k] = rb
             sph_mat[k] = tables.material(s.material)
             sph_active[k] = not s.hide
 
@@ -474,26 +653,36 @@ class Scene:
         vis_tris = [t for t in tris if not t.hide]
         m = len(vis_tris)
         use_bvh = m > BVH_MIN_TRIS
+        va_b = vb_b = None
         if m:
-            v0 = np.asarray([t.v0 for t in vis_tris], np.float32)
-            v1 = np.asarray([t.v1 for t in vis_tris], np.float32)
-            v2 = np.asarray([t.v2 for t in vis_tris], np.float32)
+            geo = [tri_geom(t) for t in vis_tris]
+            va = np.asarray([g[0] for g in geo], np.float32)  # (m, 3verts, 3)
+            vb = np.asarray([g[1] for g in geo], np.float32)
+            v0, v1, v2 = va[:, 0], va[:, 1], va[:, 2]
+            v0b, v1b, v2b = vb[:, 0], vb[:, 1], vb[:, 2]
             t_mat = np.asarray([tables.material(t.material) for t in vis_tris], np.int32)
             if use_bvh:
-                bb_min = np.minimum(np.minimum(v0, v1), v2)
-                bb_max = np.maximum(np.maximum(v0, v1), v2)
-                bvh = build_bvh(bb_min, bb_max)
+                # Union of shutter-open and shutter-close bounds so moving
+                # primitives stay enclosed (refit fixes the reference's
+                # stale-inner-node problem, SURVEY.md §2.2).
+                lo = np.minimum(va.min(axis=1), vb.min(axis=1))
+                hi = np.maximum(va.max(axis=1), vb.max(axis=1))
+                bvh = build_bvh(lo, hi)
                 perm = bvh.perm
                 v0, v1, v2, t_mat = v0[perm], v1[perm], v2[perm], t_mat[perm]
+                v0b, v1b, v2b = v0b[perm], v1b[perm], v2b[perm]
                 t_active = np.ones((m,), bool)
             else:
                 bvh = None
                 m_pad = _pad_to(m, 8)
                 pad = m_pad - m
-                v0, v1, v2 = (np.pad(a, ((0, pad), (0, 0))) for a in (v0, v1, v2))
+                v0, v1, v2, v0b, v1b, v2b = (
+                    np.pad(a, ((0, pad), (0, 0))) for a in (v0, v1, v2, v0b, v1b, v2b)
+                )
                 t_mat = np.pad(t_mat, (0, pad))
                 t_active = np.zeros((m_pad,), bool)
                 t_active[:m] = True
+            va_b = (v0b, v1b, v2b)
         else:
             bvh = None
             v0 = v1 = v2 = np.zeros((1, 3), np.float32)
@@ -544,13 +733,19 @@ class Scene:
             bvh_first=jnp.asarray(bvh.node_first),
             bvh_count=jnp.asarray(bvh.node_count),
             bvh_miss=jnp.asarray(bvh.node_miss),
+            sph_center_d=jnp.asarray(sph_center_b - sph_center) if animated else None,
+            sph_radius_d=jnp.asarray(sph_radius_b - sph_radius) if animated else None,
+            tri_v0_d=jnp.asarray(va_b[0] - v0) if animated and va_b else None,
+            tri_v1_d=jnp.asarray(va_b[1] - v1) if animated and va_b else None,
+            tri_v2_d=jnp.asarray(va_b[2] - v2) if animated and va_b else None,
             sky_kind=self.sky_kind,
             num_spheres=n,
             num_tris=m,
             use_bvh=use_bvh,
-            animated=False,
+            animated=animated,
         )
         self._cache = sd
+        self._cache_key = key
         return sd
 
     # --- rendering ----------------------------------------------------------

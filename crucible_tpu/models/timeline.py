@@ -142,7 +142,7 @@ class TransformTimeline:
             else:
                 delta = np.array([k.value[ax] if ax in axes else 0.0 for ax in range(3)])
             start = max(prev_end[ax] for ax in axes) if k.interp == LERP else k.keyframe
-            t0s.append(max(start, 0.0) if k.interp == LERP else k.keyframe)
+            t0s.append(start if k.interp == LERP else k.keyframe)
             t1s.append(k.keyframe)
             deltas.append(delta)
             abs_pos += delta
@@ -188,7 +188,7 @@ class TransformTimeline:
             start = (
                 max(prev_end[ax] for ax in axes) if k.interp == LERP else k.keyframe
             )
-            t0s.append(max(start, 0.0) if k.interp == LERP else k.keyframe)
+            t0s.append(start if k.interp == LERP else k.keyframe)
             t1s.append(k.keyframe)
             froms.append(f)
             tos.append(t)
@@ -201,6 +201,34 @@ class TransformTimeline:
             np.asarray(froms, np.float32),
             np.asarray(tos, np.float32),
         )
+
+
+    # --- host-side scalar evaluation (NumPy) -------------------------------
+    def position_at(self, t: float) -> np.ndarray:
+        """Evaluate the translate track at time t -> (3,) (host NumPy).
+
+        Matches combine_and_compute's translate product = init + sum of
+        ramped deltas (timeline/mod.rs:237-247).
+        """
+        t0, t1, delta = self.lower_translate()
+        pos = np.asarray(self.init_pos, np.float64).copy()
+        for a, b, dv in zip(t0, t1, delta):
+            span = b - a
+            r = np.clip((t - a) / span, 0.0, 1.0) if span > 0 else (1.0 if t >= a else 0.0)
+            pos += dv * r
+        return pos
+
+    def scale_at(self, t: float) -> np.ndarray:
+        """Evaluate the scale track at time t -> (3,) (most-recent-wins,
+        timeline/mod.rs:250-256). Component 0 doubles as the sphere radius."""
+        t0, t1, f, g = self.lower_scale()
+        k = 0
+        for i, a in enumerate(t0):
+            if t >= a:
+                k = i
+        span = t1[k] - t0[k]
+        r = np.clip((t - t0[k]) / span, 0.0, 1.0) if span > 0 else (1.0 if t >= t0[k] else 0.0)
+        return f[k] + (g[k] - f[k]) * r
 
 
 # --------------------------------------------------------------------------

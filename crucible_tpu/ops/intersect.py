@@ -86,6 +86,57 @@ def hit_spheres(o, d, centers, radii, active, t_min, t_max):
     return t, idx, t < BIG
 
 
+def hit_spheres_moving(o, d, w, ca, cd, ra, rd, active, t_min, t_max):
+    """Closest hit against linearly-moving spheres, MXU-formulated.
+
+    Motion model: center(w) = ca + w*cd, radius(w) = ra + w*rd with the
+    per-ray shutter fraction w in [0,1] (models/timeline.py linear-shutter
+    lowering; the reference instead re-evaluates the whole timeline per ray,
+    src/objects/sphere.rs:67-69 — identical for piecewise-linear tracks with
+    no keyframe inside the frame's shutter window).
+
+    All (R, N) terms expand into static matmuls plus w-weighted lerps:
+      d.c(w)   = d@ca' + w*(d@cd')
+      |c(w)|^2 = |ca|^2 + 2w(ca.cd) + w^2|cd|^2      (per-sphere scalars)
+      r(w)^2   = ra^2 + 2w(ra*rd) + w^2 rd^2
+    so the animated path costs two extra matmuls and no (R, N, 3) tensors.
+
+    Args: o, d (R,3); w (R,); ca/cd (N,3); ra/rd (N,); active (N,) bool.
+    Returns (t, idx, hit) like hit_spheres.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    wcol = w[:, None]  # (R, 1)
+    d_dot_c = jnp.dot(d, ca.T, precision=hi) + wcol * jnp.dot(d, cd.T, precision=hi)
+    o_dot_c = jnp.dot(o, ca.T, precision=hi) + wcol * jnp.dot(o, cd.T, precision=hi)
+    c_sq = (
+        jnp.sum(ca * ca, -1)[None, :]
+        + 2.0 * wcol * jnp.sum(ca * cd, -1)[None, :]
+        + (wcol * wcol) * jnp.sum(cd * cd, -1)[None, :]
+    )
+    r_sq = (
+        (ra * ra)[None, :]
+        + 2.0 * wcol * (ra * rd)[None, :]
+        + (wcol * wcol) * (rd * rd)[None, :]
+    )
+
+    a = jnp.sum(d * d, axis=-1)[:, None]
+    h = d_dot_c - jnp.sum(d * o, axis=-1)[:, None]
+    c = c_sq - 2.0 * o_dot_c + jnp.sum(o * o, axis=-1)[:, None] - r_sq
+    disc = h * h - a * c
+    disc_pos = disc > 0.0
+    sqrtd = jnp.where(disc_pos, jnp.sqrt(jnp.where(disc_pos, disc, 1.0)), 0.0)
+    root0 = (h - sqrtd) / a
+    root1 = (h + sqrtd) / a
+    ok0 = (root0 > t_min) & (root0 < t_max)
+    ok1 = (root1 > t_min) & (root1 < t_max)
+    root = jnp.where(ok0, root0, root1)
+    valid = disc_pos & (ok0 | ok1) & active[None, :]
+    t_all = jnp.where(valid, root, BIG)
+    idx = jnp.argmin(t_all, axis=-1).astype(jnp.int32)
+    t = jnp.take_along_axis(t_all, idx[:, None], axis=-1)[:, 0]
+    return t, idx, t < BIG
+
+
 def sphere_uv(n):
     """(u, v) texture coordinates from the unit outward normal.
 
@@ -99,11 +150,14 @@ def sphere_uv(n):
     return phi / (2.0 * jnp.pi), theta / jnp.pi
 
 
-def hit_triangles(o, d, v0, v1, v2, active, t_min, t_max):
+def hit_triangles(o, d, v0, v1, v2, active, t_min, t_max, v0d=None, v1d=None, v2d=None, w=None):
     """Closest triangle hit per ray via batched Möller–Trumbore.
 
     Args:
       o, d: (R, 3); v0/v1/v2: (M, 3) or (R, M, 3) (animated); active: (M,).
+      v0d/v1d/v2d, w: optional linear shutter motion (vertex + w * delta,
+        per-ray w) — the brute-force path materializes (R, M, 3) so keep M
+        small here; the BVH path (ops/traverse.py) lerps per leaf instead.
 
     Returns (t, idx, hit) like :func:`hit_spheres`. Barycentrics are
     recomputed at shading time for the winner only.
@@ -112,6 +166,11 @@ def hit_triangles(o, d, v0, v1, v2, active, t_min, t_max):
         v0b, v1b, v2b = v0[None], v1[None], v2[None]  # (1, M, 3)
     else:
         v0b, v1b, v2b = v0, v1, v2
+    if v0d is not None:
+        wb = w[:, None, None]
+        v0b = v0b + wb * v0d[None]
+        v1b = v1b + wb * v1d[None]
+        v2b = v2b + wb * v2d[None]
     e1 = v1b - v0b
     e2 = v2b - v0b
     ob = o[:, None, :]

@@ -61,15 +61,23 @@ def bvh_hit_triangles(
     t_min,
     t_max,
     leaf_size: int,
+    v0d=None,
+    v1d=None,
+    v2d=None,
+    w=None,
 ):
     """Closest triangle hit through the flat BVH.
 
     Args:
       o, d: (R, 3) rays.
       v0, v1, v2: (M, 3) triangle vertices in LEAF ORDER (pre-permuted).
-      node_*: flat BVH arrays (K nodes).
+      node_*: flat BVH arrays (K nodes). For moving meshes the node boxes
+        must enclose the shutter-open AND shutter-close vertex positions
+        (union refit, ops/bvh.py).
       t_min, t_max: scalar acceptance bounds.
       leaf_size: static max primitives per leaf (unrolled).
+      v0d/v1d/v2d, w: optional linear shutter motion — vertex(w) =
+        v + w * vd with per-ray w (see hit_spheres_moving).
 
     Returns:
       t: (R,) distance (BIG where miss)
@@ -111,6 +119,11 @@ def bvh_hit_triangles(
                 a = jnp.take(v0, pid, axis=0)
                 b = jnp.take(v1, pid, axis=0)
                 c = jnp.take(v2, pid, axis=0)
+                if v0d is not None:
+                    wcol = w[:, None]
+                    a = a + wcol * jnp.take(v0d, pid, axis=0)
+                    b = b + wcol * jnp.take(v1d, pid, axis=0)
+                    c = c + wcol * jnp.take(v2d, pid, axis=0)
                 t_hit, valid = _mt_single(o, d, a, b, c, t_min, t_b)
                 upd = test & valid
                 t_b = jnp.where(upd, t_hit, t_b)
