@@ -217,6 +217,100 @@ def bounce_step(sd: SceneData, o, d, pixel_ids, sample_ids, bounce, seed, use_pa
     )
 
 
+def make_sphere_table(sd: SceneData):
+    """Per-sphere attribute table (N, 24) for the fused intersect+fetch
+    kernel (ops/pallas/sphere_shade.py). Built from the differentiable
+    scene tables with N-sized (tiny) gathers; loop-invariant per render."""
+    mat = sd.sph_mat
+    tid = jnp.take(sd.mat_tex, mat, axis=0)
+    even_id = jnp.take(sd.tex.even, tid, axis=0)
+    odd_id = jnp.take(sd.tex.odd, tid, axis=0)
+    cols = [
+        sd.sph_center[:, 0],
+        sd.sph_center[:, 1],
+        sd.sph_center[:, 2],
+        sd.sph_radius,
+        jnp.sum(sd.sph_center * sd.sph_center, -1) - sd.sph_radius * sd.sph_radius,
+        sd.sph_active.astype(jnp.float32),
+        jnp.take(sd.mat_type, mat, axis=0).astype(jnp.float32),
+        jnp.take(sd.mat_fuzz, mat, axis=0),
+        jnp.take(sd.mat_ior, mat, axis=0),
+        jnp.take(sd.mat_prob, mat, axis=0),
+        jnp.take(sd.mat_emission, mat, axis=0)[:, 0],
+        jnp.take(sd.mat_emission, mat, axis=0)[:, 1],
+        jnp.take(sd.mat_emission, mat, axis=0)[:, 2],
+        jnp.take(sd.tex.kind, tid, axis=0).astype(jnp.float32),
+        jnp.take(sd.tex.color, tid, axis=0)[:, 0],
+        jnp.take(sd.tex.color, tid, axis=0)[:, 1],
+        jnp.take(sd.tex.color, tid, axis=0)[:, 2],
+        jnp.take(sd.tex.inv_scale, tid, axis=0),
+        jnp.take(sd.tex.color, even_id, axis=0)[:, 0],
+        jnp.take(sd.tex.color, even_id, axis=0)[:, 1],
+        jnp.take(sd.tex.color, even_id, axis=0)[:, 2],
+        jnp.take(sd.tex.color, odd_id, axis=0)[:, 0],
+        jnp.take(sd.tex.color, odd_id, axis=0)[:, 1],
+        jnp.take(sd.tex.color, odd_id, axis=0)[:, 2],
+    ]
+    return jnp.stack(cols, axis=1)
+
+
+def fused_supported(sd: SceneData) -> bool:
+    """Static predicate: the fused gather-free bounce applies to static
+    sphere-only scenes whose textures are solid/checker-of-solid (no image
+    lookups — those need uv + texel gathers)."""
+    return (not sd.animated) and sd.num_tris == 0 and len(sd.tex.images) == 0
+
+
+def bounce_step_fused(sd: SceneData, table, o, d, pixel_ids, sample_ids, bounce, seed):
+    """Gather-free bounce for static sphere scenes: the pallas kernel
+    returns the winner's shading attributes directly (sphere_shade.py), so
+    everything below is elementwise. Also skips sphere-uv transcendentals
+    (uv only feeds image textures, absent here)."""
+    from crucible_tpu.ops.pallas.sphere_shade import hit_spheres_fetch
+
+    out = hit_spheres_fetch(o, d, table, t_min=T_MIN)
+    t = out[0]
+    hit = t < BIG
+    center = out[2:5].T
+    radius = out[5]
+    point = o + jnp.where(hit, t, 1.0)[:, None] * d
+    n_out = (point - center) / jnp.maximum(radius, 1e-20)[:, None]
+    front = vec.dot(d, n_out) < 0.0
+    normal = jnp.where(front[:, None], n_out, -n_out)
+
+    mat_type = out[6]
+    emission = out[10:13].T
+    sky = sky_mod.radiance(sd.sky_kind, sd.sky_image, d)
+    contrib = jnp.where(hit[:, None], emission, sky)
+
+    # Texture: solid or 3-D checker of solids (textures.py semantics).
+    tex_kind = out[13]
+    inv_scale = out[17]
+    xyz = jnp.floor(inv_scale[:, None] * point).astype(jnp.int32)
+    is_even = (xyz[:, 0] + xyz[:, 1] + xyz[:, 2]) % 2 == 0
+    checker = jnp.where(is_even[:, None], out[18:21].T, out[21:24].T)
+    albedo = jnp.where((tex_kind == tex_mod.CHECKER)[:, None], checker, out[14:17].T)
+
+    u_dir1, u_dir2, u_decide = crng.uniform3(
+        pixel_ids,
+        sample_ids,
+        jnp.uint32(crng.STREAM_BOUNCE_BASE) + jnp.asarray(bounce).astype(jnp.uint32),
+        seed,
+    )
+    new_dir, atten, scattered = mat_mod.scatter(
+        mat_type, out[7], out[8], out[9], albedo, d, normal, front,
+        u_dir1, u_dir2, u_decide,
+    )
+    return dict(
+        contrib=contrib,
+        hit=hit,
+        scattered=scattered,
+        new_o=point,
+        new_d=new_dir,
+        atten=atten,
+    )
+
+
 def trace(
     sd: SceneData,
     o,
@@ -324,6 +418,9 @@ def trace_persistent(
     d0 = jnp.ones((r, 3), jnp.float32)
     thr0 = jnp.zeros((r, 3), jnp.float32)
 
+    fused = use_pallas and fused_supported(sd)
+    table = make_sphere_table(sd) if fused else None
+
     def cond(state):
         sample_i, alive, *_ = state
         return jnp.any(alive | (sample_i < spp))
@@ -345,7 +442,10 @@ def trace_persistent(
         smp_next = jnp.where(issue, sample_i + groups, sample_i)
 
         # --- one bounce for every lane ------------------------------------
-        s = bounce_step(sd, o, d, pix, smp, bounce, seed, use_pallas)
+        if fused:
+            s = bounce_step_fused(sd, table, o, d, pix, smp, bounce, seed)
+        else:
+            s = bounce_step(sd, o, d, pix, smp, bounce, seed, use_pallas)
         acc = acc + jnp.where(alive[:, None], thr * s["contrib"], 0.0)
 
         cont = alive & s["hit"] & s["scattered"] & (bounce + 1 < max_depth)
