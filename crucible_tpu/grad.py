@@ -18,6 +18,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from crucible_tpu.models import integrator
 from crucible_tpu.models.camera import CameraParams
@@ -124,3 +125,50 @@ def make_train_step(optimizer, width: int, height: int, spp: int, max_depth: int
         return params, opt_state, loss
 
     return step
+
+
+# --------------------------------------------------------------------------
+# Checkpoint / resume (SURVEY.md §5: per-frame / per-gradient-step
+# checkpoints are a stated BASELINE config; the reference has none)
+# --------------------------------------------------------------------------
+
+
+def save_checkpoint(path, params, opt_state=None, step: int = 0) -> None:
+    """Persist a parameter pytree (+ optional optimizer state) to an .npz.
+
+    Plain NumPy container — no orbax dependency, resumable across hosts.
+    """
+    import pickle
+
+    flat, treedef = jax.tree_util.tree_flatten(params)
+    payload = {f"p{i}": np.asarray(l) for i, l in enumerate(flat)}
+    payload["__step__"] = np.asarray(step)
+    payload["__treedef__"] = np.frombuffer(
+        pickle.dumps(treedef), dtype=np.uint8
+    )
+    if opt_state is not None:
+        oflat, otreedef = jax.tree_util.tree_flatten(opt_state)
+        for i, l in enumerate(oflat):
+            payload[f"o{i}"] = np.asarray(l)
+        payload["__otreedef__"] = np.frombuffer(pickle.dumps(otreedef), dtype=np.uint8)
+    np.savez_compressed(path, **payload)
+
+
+def load_checkpoint(path):
+    """-> (params, opt_state | None, step)."""
+    import pickle
+
+    with np.load(path, allow_pickle=False) as z:
+        treedef = pickle.loads(z["__treedef__"].tobytes())
+        n = len([k for k in z.files if k.startswith("p")])
+        params = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(z[f"p{i}"]) for i in range(n)]
+        )
+        opt_state = None
+        if "__otreedef__" in z.files:
+            otreedef = pickle.loads(z["__otreedef__"].tobytes())
+            m = len([k for k in z.files if k.startswith("o")])
+            opt_state = jax.tree_util.tree_unflatten(
+                otreedef, [jnp.asarray(z[f"o{i}"]) for i in range(m)]
+            )
+        return params, opt_state, int(z["__step__"])

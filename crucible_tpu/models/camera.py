@@ -75,9 +75,14 @@ def generate_rays(
     i = (pixel_ids % width).astype(jnp.float32)
     j = (pixel_ids // width).astype(jnp.float32)
 
+    # One PCG4D evaluation covers pixel jitter (lanes 0-1) and the defocus
+    # disk (lanes 2-3) — u32 hashing is expensive on the VPU, so the camera
+    # costs a single hash per ray. The shutter-time hash is separate (its
+    # own stream) and dead-code-eliminated by XLA for static scenes.
+    ux, uy, ud1, ud2 = crng.uniform4(
+        pixel_ids, sample_ids, crng.STREAM_PIXEL_JITTER, seed
+    )
     u_t = crng.uniform1(pixel_ids, sample_ids, crng.STREAM_TIME, seed)
-    ux, uy = crng.uniform2(pixel_ids, sample_ids, crng.STREAM_PIXEL_JITTER, seed)
-    ud1, ud2 = crng.uniform2(pixel_ids, sample_ids, crng.STREAM_DEFOCUS, seed)
 
     times = cp.frame_time + u_t * cp.shutter_length
 

@@ -460,6 +460,91 @@ def trace_persistent(
     return acc.reshape(groups, p_pad, 3).sum(axis=0)[:num_pixels]
 
 
+def trace_persistent_queue(
+    sd: SceneData,
+    cp,
+    width: int,
+    height: int,
+    spp: int,
+    max_depth: int,
+    seed,
+    lanes: int,
+    use_pallas: bool = True,
+):
+    """Persistent wavefront with a STRIDED GLOBAL path schedule.
+
+    Lane i processes path ids i, i+R, i+2R, ... where path q maps to
+    (pixel = q mod P, sample = q div P). Because consecutive paths of one
+    lane orbit through many different pixels, per-lane total work
+    concentrates by CLT even when path length is strongly pixel-dependent
+    (glass-heavy pixels) — the failure mode of the lane-per-pixel schedule,
+    whose worst lane must grind all spp samples of the worst pixel. The
+    price is a scatter-add into the framebuffer each iteration (the
+    lane-per-pixel schedule is scatter-free). Static schedule, no global
+    counter, no prefix sums.
+
+    Same RNG per (pixel, sample) => same image as the other modes up to
+    f32 summation order.
+
+    Returns the per-pixel radiance SUM (num_pixels, 3).
+    """
+    num_pixels = width * height
+    total = num_pixels * spp
+    r = max(512, min(((lanes + 511) // 512) * 512, ((total + 511) // 512) * 512))
+
+    fused = use_pallas and fused_supported(sd)
+    table = make_sphere_table(sd) if fused else None
+
+    lane = jnp.arange(r, dtype=jnp.int64) if total > 2**31 else jnp.arange(r, dtype=jnp.int32)
+    q0 = lane - r  # "previous" path id; first issue advances to lane
+    fb0 = jnp.zeros((num_pixels, 3), jnp.float32)
+
+    state0 = (
+        q0,
+        jnp.zeros((r,), bool),
+        jnp.zeros((r,), jnp.int32),
+        jnp.zeros((r, 3), jnp.float32),
+        jnp.ones((r, 3), jnp.float32),
+        jnp.zeros((r, 3), jnp.float32),
+        fb0,
+    )
+
+    def cond(state):
+        q, alive, *_ = state
+        return jnp.any(alive | (q + r < total))
+
+    def body(state):
+        q, alive, bounce, o, d, thr, fb = state
+
+        issue = (~alive) & (q + r < total)
+        q = jnp.where(issue, q + r, q)
+        active = alive | issue
+        pix = (jnp.where(q >= 0, q, 0) % num_pixels).astype(jnp.uint32)
+        smp = (jnp.where(q >= 0, q, 0) // num_pixels).astype(jnp.uint32)
+
+        no, nd, _ = generate_rays(cp, width, height, pix, smp, seed)
+        o = jnp.where(issue[:, None], no, o)
+        d = jnp.where(issue[:, None], nd, d)
+        thr = jnp.where(issue[:, None], 1.0, thr)
+        bounce = jnp.where(issue, 0, bounce)
+
+        if fused:
+            s = bounce_step_fused(sd, table, o, d, pix, smp, bounce, seed)
+        else:
+            s = bounce_step(sd, o, d, pix, smp, bounce, seed, use_pallas)
+        contrib = jnp.where(active[:, None], thr * s["contrib"], 0.0)
+        fb = fb.at[pix].add(contrib)
+
+        cont = active & s["hit"] & s["scattered"] & (bounce + 1 < max_depth)
+        thr = jnp.where(cont[:, None], thr * s["atten"], thr)
+        o = jnp.where(cont[:, None], s["new_o"], o)
+        d = jnp.where(cont[:, None], s["new_d"], d)
+        return q, cont, bounce + 1, o, d, thr, fb
+
+    *_, fb = jax.lax.while_loop(cond, body, state0)
+    return fb
+
+
 def render_rays(
     sd: SceneData,
     cp: CameraParams,

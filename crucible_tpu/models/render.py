@@ -73,7 +73,9 @@ def default_rays_per_pass() -> int:
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "spp", "max_depth", "lanes", "use_pallas"),
+    static_argnames=(
+        "width", "height", "spp", "max_depth", "lanes", "use_pallas", "schedule",
+    ),
     donate_argnums=(),
 )
 def _render_persistent(
@@ -87,10 +89,14 @@ def _render_persistent(
     max_depth: int,
     lanes: int,
     use_pallas: bool,
+    schedule: str = "pixel",
 ):
-    return integrator.trace_persistent(
-        sd, cp, width, height, spp, max_depth, seed, lanes, use_pallas
+    fn = (
+        integrator.trace_persistent_queue
+        if schedule == "queue"
+        else integrator.trace_persistent
     )
+    return fn(sd, cp, width, height, spp, max_depth, seed, lanes, use_pallas)
 
 
 def render_image_persistent(
@@ -103,6 +109,7 @@ def render_image_persistent(
     seed: int,
     lanes: int | None = None,
     use_pallas: bool | None = None,
+    schedule: str = "queue",
 ) -> np.ndarray:
     """Whole-image render in ONE device dispatch via the persistent
     wavefront (integrator.trace_persistent). The production TPU path."""
@@ -125,6 +132,7 @@ def render_image_persistent(
         max_depth=max_depth,
         lanes=lanes,
         use_pallas=use_pallas,
+        schedule=schedule,
     )
     return np.asarray(fb).reshape(height, width, 3) / np.float32(samples)
 

@@ -44,7 +44,9 @@ class FlatBVH:
         return len(self.node_min)
 
 
-def build_bvh(bb_min: np.ndarray, bb_max: np.ndarray, leaf_size: int = 4) -> FlatBVH:
+def build_bvh(
+    bb_min: np.ndarray, bb_max: np.ndarray, leaf_size: int = 4, use_native: bool = True
+) -> FlatBVH:
     """Build a flat BVH over M primitive AABBs.
 
     Args:
@@ -53,7 +55,15 @@ def build_bvh(bb_min: np.ndarray, bb_max: np.ndarray, leaf_size: int = 4) -> Fla
         primitive leaves, duplicating span==1 leaves into both children
         (bvhwrapper.rs:59-61); grouping a few prims per leaf is strictly
         better for vectorized leaf tests).
+      use_native: try the C++ builder (crucible_tpu/native) first — same
+        topology, much faster for large meshes; falls back silently.
     """
+    if use_native:
+        from crucible_tpu import native
+
+        out = native.build_bvh_native(bb_min, bb_max, leaf_size)
+        if out is not None:
+            return FlatBVH(**out)
     m = len(bb_min)
     assert m > 0, "empty BVH"
     bb_min = np.asarray(bb_min, np.float32)

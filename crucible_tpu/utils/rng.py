@@ -24,12 +24,14 @@ import numpy as np
 _PCG_MULT = np.uint32(1664525)
 _PCG_ADD = np.uint32(1013904223)
 
-# Fixed stream ids for camera-side randomness.
+# Fixed stream ids for camera-side randomness. The camera consumes ONE
+# PCG4D evaluation per ray: jitter x/y on lanes 0-1, defocus disk on lanes
+# 2-3 (models/camera.py). Shutter time has its own stream so static scenes
+# never pay for it (DCE).
 STREAM_TIME = 0
 STREAM_PIXEL_JITTER = 1
-STREAM_DEFOCUS = 2
 STREAM_BOUNCE_BASE = 3
-STREAMS_PER_BOUNCE = 2  # scatter-direction sample + material decision
+STREAMS_PER_BOUNCE = 1  # one hash per bounce: dir u1/u2 + decision
 
 
 def pcg4d(a, b, c, d):

@@ -188,8 +188,8 @@ def render(spheres, cam, width, height, spp, depth, seed):
             pix = j * width + i
             acc = np.zeros(3)
             for smp in range(spp):
-                jx, jy, _, _ = uniform4(pix, smp, STREAM_JITTER, seed)
-                dx1, dx2, _, _ = uniform4(pix, smp, STREAM_DEFOCUS, seed)
+                # One camera hash: jitter on lanes 0-1, defocus on 2-3.
+                jx, jy, dx1, dx2 = uniform4(pix, smp, STREAM_JITTER, seed)
                 pos = p00 + (i + jx - 0.5) * du + (j + jy - 0.5) * dv
                 if defocus_r > 0.0:
                     disk = in_unit_disk(dx1, dx2)

@@ -136,3 +136,25 @@ class TestTrainStep:
             )
             losses.append(float(loss))
         assert losses[-1] < losses[0] * 0.35, f"loss did not descend: {losses}"
+
+
+class TestCheckpoint:
+    def test_round_trip(self, tmp_path):
+        sc = demo.smoke_scene(width=16)
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        params = G.extract_params(sd, cp)
+        opt = optax.adam(1e-2)
+        state = opt.init(params)
+        p = tmp_path / "ckpt.npz"
+        G.save_checkpoint(p, params, state, step=7)
+        params2, state2, step = G.load_checkpoint(p)
+        assert step == 7
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(state2)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

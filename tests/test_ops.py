@@ -224,3 +224,23 @@ class TestAabb:
             jnp.asarray([[1, 1, 1]], jnp.float32), 1e-3, np.inf
         )
         assert bool(hit[0, 0])
+
+
+class TestNativeBVH:
+    def test_native_matches_numpy(self, rng):
+        """The C++ builder must emit the exact same flat BVH as the NumPy
+        builder (same topology, perm, skip links)."""
+        from crucible_tpu.ops.bvh import build_bvh
+
+        v0, v1, v2 = _random_tris(rng, 513)
+        bb_min = np.minimum(np.minimum(v0, v1), v2)
+        bb_max = np.maximum(np.maximum(v0, v1), v2)
+        a = build_bvh(bb_min, bb_max, use_native=False)
+        b = build_bvh(bb_min, bb_max, use_native=True)
+        np.testing.assert_array_equal(a.perm, b.perm)
+        np.testing.assert_array_equal(a.node_miss, b.node_miss)
+        np.testing.assert_array_equal(a.node_first, b.node_first)
+        np.testing.assert_array_equal(a.node_count, b.node_count)
+        np.testing.assert_array_equal(a.node_parent, b.node_parent)
+        np.testing.assert_allclose(a.node_min, b.node_min)
+        np.testing.assert_allclose(a.node_max, b.node_max)
