@@ -90,3 +90,16 @@ class TestGraftEntry:
     def test_dryrun_multichip(self):
         g = self._load()
         g.dryrun_multichip(8)
+
+
+class TestShardedDriver:
+    def test_render_image_sharded_matches_tiled(self):
+        from crucible_tpu.models import render as srender
+        from crucible_tpu.parallel.render import render_image_sharded
+
+        sc = demo.smoke_scene(width=48)
+        sc.scene_cam.set_samples(4)
+        sc.scene_cam.set_max_depth(4)
+        single = srender.render_image(sc, mode="tiled")
+        sharded = render_image_sharded(sc)
+        np.testing.assert_array_equal(single, sharded)

@@ -1,0 +1,99 @@
+"""Consolidated TPU performance harness — run ONE of these at a time.
+
+Runs the full measurement matrix in a single process (compiles amortize,
+no overlapping jobs to wedge the tunnel) and appends JSON lines to
+tools/tpu_results.jsonl.
+
+Usage: python tools/tpu_bench.py [quick|full|micro]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+RESULTS = Path(__file__).parent / "tpu_results.jsonl"
+
+
+def log(**kw):
+    kw["ts"] = time.strftime("%H:%M:%S")
+    print(json.dumps(kw), flush=True)
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(kw) + "\n")
+
+
+def micro():
+    """In-loop primitive costs at 1M lanes."""
+    R = 1 << 20
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, 512, R), jnp.int32)
+    pix = jnp.asarray(rng.integers(0, 90000, R), jnp.uint32)
+    table = jnp.ones((512,))
+    fb = jnp.zeros((90000, 3), jnp.float32)
+    contrib = jnp.ones((R, 3), jnp.float32)
+    from crucible_tpu.utils import rng as crng
+
+    def timeloop(name, bodyfn, x0, n=30):
+        @jax.jit
+        def loop(n, x):
+            return jax.lax.while_loop(
+                lambda s: s[0] < n, lambda s: (s[0] + 1, bodyfn(s[1])), (0, x)
+            )[1]
+
+        jax.block_until_ready(loop(2, x0))
+        t0 = time.time()
+        jax.block_until_ready(loop(2, x0))
+        base = time.time() - t0
+        t0 = time.time()
+        jax.block_until_ready(loop(n + 2, x0))
+        log(bench=name, ms_per_iter=round(1000 * (time.time() - t0 - base) / n, 3))
+
+    x0 = jnp.zeros((R,), jnp.float32)
+    timeloop("u32_hash_pcg4d", lambda x: x + crng.uniform1(pix, 3, 5, 7), x0)
+    timeloop("u32_mul_only", lambda x: x + ((pix * np.uint32(1664525)) >> np.uint32(8)).astype(jnp.float32) * 1e-9, x0)
+    timeloop("gather_512table", lambda x: x + jnp.take(table, idx), x0)
+    timeloop("scatter_add_90K", lambda fb_: fb_.at[pix].add(contrib), fb)
+    timeloop("transcendental_sincos", lambda x: jnp.sin(x) + jnp.cos(x) * 1e-9 + x, x0)
+
+
+def quick(width=400, spps=(32, 100)):
+    from crucible_tpu.models import demo, render
+
+    sc = demo.book1_end_scene(width=width)
+    sd = sc.build()
+    cp = sc.scene_cam.params()
+    w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
+    for schedule in ("pixel", "queue"):
+        render.render_image_persistent(sd, cp, w, h, 2, 50, 0, schedule=schedule)
+        for spp in spps:
+            t0 = time.time()
+            img = render.render_image_persistent(
+                sd, cp, w, h, spp, 50, 1, schedule=schedule
+            )
+            dt = time.time() - t0
+            log(
+                bench=f"book1_{width}w",
+                schedule=schedule,
+                spp=spp,
+                seconds=round(dt, 2),
+                mrays_per_s=round(w * h * spp / dt / 1e6, 2),
+                mean=round(float(img.mean()), 4),
+            )
+
+
+def full():
+    micro()
+    quick(400)
+    quick(1920, spps=(32,))
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "quick"
+    print("devices:", jax.devices(), flush=True)
+    {"quick": quick, "full": full, "micro": micro}[mode]()
