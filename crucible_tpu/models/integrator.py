@@ -218,13 +218,23 @@ def bounce_step(sd: SceneData, o, d, pixel_ids, sample_ids, bounce, seed, use_pa
 
 
 def make_sphere_table(sd: SceneData):
-    """Per-sphere attribute table (N, 24) for the fused intersect+fetch
-    kernel (ops/pallas/sphere_shade.py). Built from the differentiable
-    scene tables with N-sized (tiny) gathers; loop-invariant per render."""
+    """Per-sphere attribute table (N, 32) for the fused intersect+fetch
+    kernel (ops/pallas/sphere_shade.py — see its docstring for the column
+    layout). Built from the differentiable scene tables with N-sized (tiny)
+    gathers; loop-invariant per render. Motion columns are zeros for static
+    scenes."""
+    n = sd.sph_center.shape[0]
     mat = sd.sph_mat
     tid = jnp.take(sd.mat_tex, mat, axis=0)
     even_id = jnp.take(sd.tex.even, tid, axis=0)
     odd_id = jnp.take(sd.tex.odd, tid, axis=0)
+    if sd.animated and sd.sph_center_d is not None:
+        cd = sd.sph_center_d
+        rd = sd.sph_radius_d
+    else:
+        cd = jnp.zeros_like(sd.sph_center)
+        rd = jnp.zeros_like(sd.sph_radius)
+    zeros = jnp.zeros((n,), jnp.float32)
     cols = [
         sd.sph_center[:, 0],
         sd.sph_center[:, 1],
@@ -250,29 +260,42 @@ def make_sphere_table(sd: SceneData):
         jnp.take(sd.tex.color, odd_id, axis=0)[:, 0],
         jnp.take(sd.tex.color, odd_id, axis=0)[:, 1],
         jnp.take(sd.tex.color, odd_id, axis=0)[:, 2],
+        cd[:, 0],
+        cd[:, 1],
+        cd[:, 2],
+        rd,
+        jnp.sum(sd.sph_center * cd, -1) - sd.sph_radius * rd,  # s1
+        jnp.sum(cd * cd, -1) - rd * rd,  # s2
+        zeros,
+        zeros,
     ]
     return jnp.stack(cols, axis=1)
 
 
 def fused_supported(sd: SceneData) -> bool:
-    """Static predicate: the fused gather-free bounce applies to static
-    sphere-only scenes whose textures are solid/checker-of-solid (no image
-    lookups — those need uv + texel gathers)."""
-    return (not sd.animated) and sd.num_tris == 0 and len(sd.tex.images) == 0
+    """Static predicate: the fused gather-free bounce applies to sphere-only
+    scenes (static or linearly-moving) whose textures are
+    solid/checker-of-solid (no image lookups — those need uv + texel
+    gathers). The equirect sky image is fine (sampled outside the kernel)."""
+    return sd.num_tris == 0 and len(sd.tex.images) == 0
 
 
 def bounce_step_fused(sd: SceneData, table, o, d, pixel_ids, sample_ids, bounce, seed):
-    """Gather-free bounce for static sphere scenes: the pallas kernel
-    returns the winner's shading attributes directly (sphere_shade.py), so
-    everything below is elementwise. Also skips sphere-uv transcendentals
-    (uv only feeds image textures, absent here)."""
+    """Gather-free bounce for sphere scenes: the pallas kernel returns the
+    winner's shading attributes directly (sphere_shade.py), so everything
+    below is elementwise. Also skips sphere-uv transcendentals (uv only
+    feeds image textures, absent here)."""
     from crucible_tpu.ops.pallas.sphere_shade import hit_spheres_fetch
 
-    out = hit_spheres_fetch(o, d, table, t_min=T_MIN)
+    if sd.animated:
+        w = crng.uniform1(pixel_ids, sample_ids, crng.STREAM_TIME, seed)
+    else:
+        w = jnp.zeros(o.shape[:1], jnp.float32)
+    out = hit_spheres_fetch(o, d, w, table, t_min=T_MIN)
     t = out[0]
     hit = t < BIG
-    center = out[2:5].T
-    radius = out[5]
+    center = out[2:5].T + w[:, None] * out[24:27].T
+    radius = out[5] + w * out[27]
     point = o + jnp.where(hit, t, 1.0)[:, None] * d
     n_out = (point - center) / jnp.maximum(radius, 1e-20)[:, None]
     front = vec.dot(d, n_out) < 0.0

@@ -1,4 +1,4 @@
-"""Fused sphere intersect + winner-attribute fetch kernel.
+"""Fused sphere intersect + winner-attribute fetch kernel (static + moving).
 
 The pure intersect kernel (sphere_hit.py) still leaves ~10 per-ray table
 gathers in the shading code (center/radius/material/texture of the winning
@@ -8,14 +8,26 @@ extracted INSIDE the kernel as exact one-hot masked reductions over the
 sphere axis while the (N, TR) quadratic is still in VMEM, so the outer
 shade code is pure elementwise arithmetic with ZERO gathers.
 
-The per-sphere attribute table is assembled in jit from the differentiable
-scene tables (integrator.make_sphere_table) — it is loop-invariant, and
-this kernel is forward-only (the differentiable path uses the jnp ops).
+Motion: linear-shutter model (models/timeline.py) — center(w) = c + w*cd,
+radius(w) = r + w*rd with the per-ray shutter fraction w. The quadratic's
+|c(w)|^2 - r(w)^2 expands into three per-sphere scalars s0 + 2w*s1 + w^2*s2
+so the moving case costs two extra FMA sets. Static scenes pass w = 0 and
+zero deltas (the compiler folds them).
 
-Output rows (C_OUT x TR):
-  0 t, 1 idx, 2-4 center, 5 radius, 6 mat_type, 7 fuzz, 8 ior, 9 prob,
-  10-12 emission, 13 tex_kind, 14-16 solid color, 17 checker inv_scale,
-  18-20 checker even color, 21-23 checker odd color
+The per-sphere attribute table is assembled in jit from the differentiable
+scene tables (integrator.make_sphere_table) — loop-invariant; this kernel
+is forward-only (the differentiable path uses the jnp ops).
+
+Input table columns (N, C_IN = 32):
+  0-2 center, 3 radius, 4 s0 = |c|^2 - r^2, 5 active,
+  6 mat_type, 7 fuzz, 8 ior, 9 prob, 10-12 emission, 13 tex_kind,
+  14-16 solid color, 17 checker inv_scale, 18-20 even color, 21-23 odd,
+  24-26 center delta, 27 radius delta, 28 s1 = c.cd - r*rd,
+  29 s2 = |cd|^2 - rd^2, 30-31 pad.
+
+Output rows (C_OUT = 32 x TR):
+  0 t, 1 idx, 2-4 center, 5 radius, 6..23 = shading cols 6..23,
+  24-26 center delta, 27 radius delta, 28-31 pad.
 """
 
 from __future__ import annotations
@@ -31,30 +43,37 @@ import numpy as np
 BIG = np.float32(3.0e38)
 TILE_RAYS = 512
 
-# Input table columns (N, C_IN): geometry then shading attributes.
-COL_CX, COL_CY, COL_CZ, COL_RADIUS, COL_CSR, COL_ACTIVE = range(6)
-SHADE_COLS = list(range(6, 24))  # 18 shading columns, copied to out rows 6..23
-C_IN = 24
-C_OUT = 24
+C_IN = 32
+C_OUT = 32
 
 
-def _kernel(o_ref, d_ref, table_ref, out_ref, *, t_min):
+def _kernel(o_ref, d_ref, w_ref, table_ref, out_ref, *, t_min):
     d_t = d_ref[:]  # (3, TR)
     o_t = o_ref[:]
+    w = w_ref[:]  # (1, TR)
 
     a = jnp.sum(d_t * d_t, axis=0, keepdims=True)  # (1, TR)
     d_dot_o = jnp.sum(d_t * o_t, axis=0, keepdims=True)
     o_sq = jnp.sum(o_t * o_t, axis=0, keepdims=True)
 
-    cx = table_ref[:, COL_CX : COL_CX + 1]  # (N, 1)
-    cy = table_ref[:, COL_CY : COL_CY + 1]
-    cz = table_ref[:, COL_CZ : COL_CZ + 1]
-    csr = table_ref[:, COL_CSR : COL_CSR + 1]
-    act = table_ref[:, COL_ACTIVE : COL_ACTIVE + 1]
+    def col(c):
+        return table_ref[:, c : c + 1]  # (N, 1)
 
-    # f32 FMAs (not dot_general — MXU bf16 passes corrupt the quadratic).
-    dc = cx * d_t[0:1, :] + cy * d_t[1:2, :] + cz * d_t[2:3, :]  # (N, TR)
-    oc = cx * o_t[0:1, :] + cy * o_t[1:2, :] + cz * o_t[2:3, :]
+    cx, cy, cz = col(0), col(1), col(2)
+    s0, act = col(4), col(5)
+    cdx, cdy, cdz = col(24), col(25), col(26)
+    s1, s2 = col(28), col(29)
+
+    # f32 FMAs (not dot_general — the MXU multiplies f32 in bf16 passes,
+    # which corrupted hit decisions); K=3 is too small for the MXU anyway.
+    dc_a = cx * d_t[0:1, :] + cy * d_t[1:2, :] + cz * d_t[2:3, :]  # (N, TR)
+    dc_d = cdx * d_t[0:1, :] + cdy * d_t[1:2, :] + cdz * d_t[2:3, :]
+    oc_a = cx * o_t[0:1, :] + cy * o_t[1:2, :] + cz * o_t[2:3, :]
+    oc_d = cdx * o_t[0:1, :] + cdy * o_t[1:2, :] + cdz * o_t[2:3, :]
+
+    dc = dc_a + w * dc_d
+    oc = oc_a + w * oc_d
+    csr = s0 + (2.0 * w) * s1 + (w * w) * s2
 
     h = dc - d_dot_o
     c = csr - 2.0 * oc + o_sq
@@ -78,27 +97,27 @@ def _kernel(o_ref, d_ref, table_ref, out_ref, *, t_min):
 
     out_ref[0:1, :] = t_best
     out_ref[1:2, :] = idx_best.astype(jnp.float32)
-    for out_row, col in (
-        (2, COL_CX),
-        (3, COL_CY),
-        (4, COL_CZ),
-        (5, COL_RADIUS),
-    ):
+    for out_row, c in [(2, 0), (3, 1), (4, 2), (5, 3)]:  # center, radius
         out_ref[out_row : out_row + 1, :] = jnp.sum(
-            jnp.where(win, table_ref[:, col : col + 1], 0.0), axis=0, keepdims=True
+            jnp.where(win, col(c), 0.0), axis=0, keepdims=True
         )
-    for k, col in enumerate(SHADE_COLS):
-        out_ref[6 + k : 7 + k, :] = jnp.sum(
-            jnp.where(win, table_ref[:, col : col + 1], 0.0), axis=0, keepdims=True
+    for c in range(6, 24):  # shading columns, same row index
+        out_ref[c : c + 1, :] = jnp.sum(
+            jnp.where(win, col(c), 0.0), axis=0, keepdims=True
+        )
+    for c in range(24, 28):  # center/radius deltas
+        out_ref[c : c + 1, :] = jnp.sum(
+            jnp.where(win, col(c), 0.0), axis=0, keepdims=True
         )
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
-def hit_spheres_fetch(o, d, table, t_min=1.0e-3, interpret=False):
+def hit_spheres_fetch(o, d, w, table, t_min=1.0e-3, interpret=False):
     """Closest sphere hit + winner attributes in one fused pass.
 
     Args:
       o, d: (R, 3) rays, R a multiple of TILE_RAYS.
+      w: (R,) per-ray shutter fraction (zeros for static scenes).
       table: (N, C_IN) per-sphere attribute table (make_sphere_table).
 
     Returns an (C_OUT, R) f32 array (see module docstring for rows).
@@ -110,6 +129,7 @@ def hit_spheres_fetch(o, d, table, t_min=1.0e-3, interpret=False):
 
     o_t = o.T.astype(jnp.float32)
     d_t = d.T.astype(jnp.float32)
+    w_t = w.reshape(1, r).astype(jnp.float32)
 
     grid = (r // TILE_RAYS,)
     kernel = functools.partial(_kernel, t_min=np.float32(t_min))
@@ -119,6 +139,7 @@ def hit_spheres_fetch(o, d, table, t_min=1.0e-3, interpret=False):
         in_specs=[
             pl.BlockSpec((3, TILE_RAYS), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, TILE_RAYS), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_RAYS), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, C_IN), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -126,5 +147,5 @@ def hit_spheres_fetch(o, d, table, t_min=1.0e-3, interpret=False):
         ],
         out_shape=[jax.ShapeDtypeStruct((C_OUT, r), jnp.float32)],
         interpret=interpret,
-    )(o_t, d_t, table)
+    )(o_t, d_t, w_t, table)
     return out
