@@ -23,6 +23,27 @@ import re
 import time
 
 
+def _device_healthy(timeout_s: float = 90.0) -> bool:
+    """Probe the accelerator in a subprocess: the axon tunnel can wedge
+    indefinitely (host-side compile helper), and a hung bench is worse than
+    a CPU bench. Returns False if a tiny op can't complete in time."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp, numpy as np;"
+        "np.asarray(jax.jit(lambda x: x.sum())(jnp.arange(8.)));"
+        "print('HEALTHY')"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, timeout=timeout_s
+        )
+        return b"HEALTHY" in out.stdout
+    except Exception:
+        return False
+
+
 def main() -> None:
     width = int(os.environ.get("BENCH_WIDTH", 1920))
     spp = int(os.environ.get("BENCH_SPP", 32))
@@ -30,6 +51,16 @@ def main() -> None:
     do_grad = os.environ.get("BENCH_GRAD", "1") != "0"
 
     import jax
+
+    if not _device_healthy():
+        print(
+            "bench: accelerator unresponsive, falling back to CPU",
+            file=__import__("sys").stderr,
+        )
+        jax.config.update("jax_platforms", "cpu")
+        width = min(width, int(os.environ.get("BENCH_CPU_WIDTH", 192)))
+        spp = min(spp, 4)
+        depth = min(depth, 8)
     import jax.numpy as jnp
     import numpy as np
 
@@ -53,7 +84,10 @@ def main() -> None:
     # --- backward: value_and_grad over a pixel batch ----------------------
     bwd_rps = None
     if do_grad:
-        bw, bh, bspp, bdepth = 192, 108, 4, 8
+        if jax.default_backend() == "cpu":
+            bw, bh, bspp, bdepth = 64, 36, 2, 4
+        else:
+            bw, bh, bspp, bdepth = 192, 108, 4, 8
         pix = jnp.arange(bw * bh, dtype=jnp.uint32)
         target = jnp.zeros((bw * bh, 3), jnp.float32)
         params = grad_mod.extract_params(sd, cp)

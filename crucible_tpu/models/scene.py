@@ -11,7 +11,7 @@ host-side flat-BVH construction cached until the scene is mutated.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dfield
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple, Union
 
 import numpy as np
