@@ -51,6 +51,8 @@ def main(argv=None) -> int:
             print(f"world {args.world} is invalid, using the default movie", file=sys.stderr)
         fn = worlds.get(args.world, demo.first_movie)
         scene = fn(frame_rate=args.rate, duration=args.seconds)
+        if args.width is not None:
+            scene.scene_cam.image_width = args.width
     else:
         worlds = demo.WORLDS
         if args.world not in worlds:

@@ -373,6 +373,12 @@ def trace(
 
     state = (bounce0, o, d, throughput0, radiance0, alive0)
     if differentiable:
+        # Rematerialize each bounce in the backward pass: without this the
+        # AD tape holds every (R, N) intersection intermediate for all
+        # max_depth bounces (O(depth * R * N) memory); with it, backward
+        # memory is one bounce deep at the cost of recomputing forwards
+        # (the jax.checkpoint trade from the TPU playbook).
+        @jax.checkpoint
         def scan_body(state, _):
             return body(state), None
 
