@@ -152,6 +152,9 @@ class Camera:
     samples: int = 10
     max_depth: int = 10
     frame: int = 0
+    # Pixel sampling strategy; "square" is the only variant, matching the
+    # reference's SamplingMethod enum (src/camera/mod.rs:60-63).
+    sampling_method: str = "square"
 
     # Filled by the timeline animator for movie scenes (keyframed from/at).
     from_timeline: Optional[object] = field(default=None, repr=False)

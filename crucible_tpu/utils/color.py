@@ -47,6 +47,12 @@ def from_bytes(b) -> jnp.ndarray:
     return (jnp.asarray(b, jnp.float32) / 255.0) ** 2
 
 
+def complement(c: jnp.ndarray) -> jnp.ndarray:
+    """Color complement (1 - c), the reference's ``Neg for Color``
+    (src/utils.rs:445-483, used by scalar mul with negative factors)."""
+    return 1.0 - c
+
+
 def srgb_bytes_passthrough(b) -> np.ndarray:
     """uint8 -> float in [0,1] with no gamma decode, matching the reference's
     ``RTWImage`` color scaling (byte * 1/255)."""

@@ -141,3 +141,11 @@ class TestRng:
         lo = np.asarray(rng.uniform1(jnp.arange(0, 32), 1, 2, 9))
         hi = np.asarray(rng.uniform1(jnp.arange(32, 64), 1, 2, 9))
         np.testing.assert_array_equal(full, np.concatenate([lo, hi]))
+
+
+class TestColorComplement:
+    def test_complement(self):
+        # Color complement (Neg) anchor (src/utils.rs:445-483).
+        np.testing.assert_allclose(
+            color.complement(jnp.array([0.0, 0.25, 1.0])), [1.0, 0.75, 0.0]
+        )
