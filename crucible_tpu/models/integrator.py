@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from crucible_tpu.models import materials as mat_mod
 from crucible_tpu.models import skybox as sky_mod
@@ -402,6 +403,7 @@ def trace_persistent(
     seed,
     lanes: int = 0,
     use_pallas: bool = True,
+    return_stats: bool = False,
 ):
     """Persistent-wavefront path tracer with lane-local sample regeneration.
 
@@ -427,9 +429,18 @@ def trace_persistent(
     with one reshape-sum at the end — still no scatter.
 
     Returns the per-pixel radiance SUM (num_pixels, 3); divide by spp.
+
+    ``spp`` may be a Python int (static) or a traced uint32 scalar — traced
+    spp keeps ONE compiled executable across sample counts (the group count
+    then comes from ``lanes`` alone; groups beyond spp idle, which only
+    wastes lanes when spp is tiny).
     """
     num_pixels = width * height
-    groups = max(1, min(spp, (max(lanes, 1) + num_pixels - 1) // num_pixels))
+    spp_static = int(spp) if isinstance(spp, (int, np.integer)) else None
+    groups = max(1, (max(lanes, 1) + num_pixels - 1) // num_pixels)
+    if spp_static is not None:
+        groups = min(spp_static, groups)
+    spp = jnp.asarray(spp, jnp.uint32)
     p_pad = ((num_pixels + 511) // 512) * 512  # pallas TILE_RAYS alignment
     r = groups * p_pad
 
@@ -451,10 +462,12 @@ def trace_persistent(
     table = make_sphere_table(sd) if fused else None
 
     def cond(state):
-        sample_i, alive, *_ = state
+        sample_i, alive, *_ = state[:-1] if return_stats else state
         return jnp.any(alive | (sample_i < spp))
 
     def body(state):
+        if return_stats:
+            *state, iters = state
         sample_i, alive, bounce, o, d, thr, acc = state
 
         # --- lane-local regeneration: this lane's next sample -------------
@@ -482,11 +495,95 @@ def trace_persistent(
         o = jnp.where(cont[:, None], s["new_o"], o)
         d = jnp.where(cont[:, None], s["new_d"], d)
         bounce = bounce + 1
-        return smp_next, cont, bounce, o, d, thr, acc
+        out = (smp_next, cont, bounce, o, d, thr, acc)
+        return out + (iters + 1,) if return_stats else out
 
     state = (sample0, alive0, bounce0, o0, d0, thr0, acc0)
+    if return_stats:
+        *rest, acc, iters = jax.lax.while_loop(
+            cond, body, state + (jnp.int32(0),)
+        )
+        return acc.reshape(groups, p_pad, 3).sum(axis=0)[:num_pixels], iters
     *_, acc = jax.lax.while_loop(cond, body, state)
     return acc.reshape(groups, p_pad, 3).sum(axis=0)[:num_pixels]
+
+
+def megakernel_supported(sd: SceneData, cp) -> bool:
+    """Static predicate for the all-in-VMEM persistent megakernel
+    (ops/pallas/megakernel.py): sphere-only scene, solid/checker textures,
+    default-gradient sky, static camera (animated cameras re-derive the
+    basis per ray — staged path only). Moving spheres are fine."""
+    return (
+        fused_supported(sd)
+        and sd.sky_kind == sky_mod.DEFAULT
+        and not cp.animated
+    )
+
+
+def trace_persistent_mega(
+    sd: SceneData,
+    cp,
+    width: int,
+    height: int,
+    spp,
+    max_depth,
+    seed,
+    lanes: int = 0,  # accepted for signature parity; lane count = pixels
+    use_pallas: bool = True,  # ditto
+    interpret: bool = False,
+):
+    """Whole persistent render in ONE pallas kernel (see megakernel.py).
+
+    Semantics = trace_persistent with groups=1 (lane p walks pixel p's spp
+    samples; identical pcg4d streams), with per-TILE loop exit instead of a
+    global wavefront barrier. Returns the per-pixel radiance SUM
+    (num_pixels, 3). ``spp``, ``max_depth`` and ``seed`` are traced — one
+    executable per (scene shape, image size).
+    """
+    from crucible_tpu.ops.pallas import megakernel as mk
+    from crucible_tpu.utils import vec
+
+    num_pixels = width * height
+    r = ((num_pixels + mk.TILE - 1) // mk.TILE) * mk.TILE
+    lane = jnp.arange(r, dtype=jnp.int32)
+    pix = jnp.minimum(lane, num_pixels - 1).reshape(1, r)
+    sample0 = jnp.where(lane >= num_pixels, jnp.int32(2**30), 0).reshape(1, r)
+
+    # Camera constants — the static-camera specialization of
+    # models/camera.py::generate_rays (identical formulas and eps).
+    lf, la = cp.look_from, cp.look_at
+    w_b = vec.unit(lf - la, eps=1e-12)
+    u_b = vec.unit(jnp.cross(cp.vup, w_b), eps=1e-12)
+    v_b = jnp.cross(w_b, u_b)
+    h = jnp.tan(cp.vfov_rad / 2.0)
+    viewport_h = 2.0 * h * cp.focus_dist
+    viewport_w = viewport_h * (width / height)
+    du = viewport_w * u_b / width
+    dv = viewport_h * (-v_b) / height
+    pixel00 = (
+        lf - cp.focus_dist * w_b - 0.5 * (width - 1) * du - 0.5 * (height - 1) * dv
+    )
+    defr = cp.focus_dist * jnp.tan(cp.defocus_angle_rad / 2.0)
+    defr = jnp.where(cp.defocus_angle_rad > 0.0, defr, 0.0)
+    cam = jnp.concatenate(
+        [pixel00, du, dv, lf, u_b, v_b, defr[None], jnp.zeros((13,), jnp.float32)]
+    ).astype(jnp.float32).reshape(1, mk.CAM_SIZE)
+
+    smem = jnp.stack(
+        [
+            jnp.asarray(spp, jnp.uint32).astype(jnp.int32),
+            jnp.asarray(seed, jnp.uint32).astype(jnp.int32),
+            jnp.int32(width),
+            jnp.asarray(max_depth, jnp.int32),
+            jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        ]
+    )
+    table = make_sphere_table(sd)
+    acc = mk.run_megakernel(
+        smem, pix, sample0, cam, table,
+        animated=bool(sd.animated), interpret=interpret,
+    )
+    return acc.T[:num_pixels]
 
 
 def trace_persistent_queue(
@@ -499,6 +596,7 @@ def trace_persistent_queue(
     seed,
     lanes: int,
     use_pallas: bool = True,
+    return_stats: bool = False,
 ):
     """Persistent wavefront with a STRIDED GLOBAL path schedule.
 
@@ -516,15 +614,23 @@ def trace_persistent_queue(
     f32 summation order.
 
     Returns the per-pixel radiance SUM (num_pixels, 3).
+
+    ``spp`` may be a Python int or a traced uint32 scalar (single compile
+    across sample counts). Total path count (pixels * spp) must stay below
+    2^31 — int32 path ids (int64 needs jax x64 mode).
     """
     num_pixels = width * height
-    total = num_pixels * spp
-    r = max(512, min(((lanes + 511) // 512) * 512, ((total + 511) // 512) * 512))
+    r = max(512, ((lanes + 511) // 512) * 512)
+    if isinstance(spp, (int, np.integer)):
+        total_static = num_pixels * int(spp)
+        assert total_static < 2**31, "queue schedule path ids overflow int32"
+        r = min(r, ((total_static + 511) // 512) * 512)
+    total = jnp.int32(num_pixels) * jnp.asarray(spp, jnp.int32)
 
     fused = use_pallas and fused_supported(sd)
     table = make_sphere_table(sd) if fused else None
 
-    lane = jnp.arange(r, dtype=jnp.int64) if total > 2**31 else jnp.arange(r, dtype=jnp.int32)
+    lane = jnp.arange(r, dtype=jnp.int32)
     q0 = lane - r  # "previous" path id; first issue advances to lane
     fb0 = jnp.zeros((num_pixels, 3), jnp.float32)
 
@@ -539,10 +645,12 @@ def trace_persistent_queue(
     )
 
     def cond(state):
-        q, alive, *_ = state
+        q, alive, *_ = state[:-1] if return_stats else state
         return jnp.any(alive | (q + r < total))
 
     def body(state):
+        if return_stats:
+            *state, iters = state
         q, alive, bounce, o, d, thr, fb = state
 
         issue = (~alive) & (q + r < total)
@@ -568,8 +676,12 @@ def trace_persistent_queue(
         thr = jnp.where(cont[:, None], thr * s["atten"], thr)
         o = jnp.where(cont[:, None], s["new_o"], o)
         d = jnp.where(cont[:, None], s["new_d"], d)
-        return q, cont, bounce + 1, o, d, thr, fb
+        out = (q, cont, bounce + 1, o, d, thr, fb)
+        return out + (iters + 1,) if return_stats else out
 
+    if return_stats:
+        *rest, fb, iters = jax.lax.while_loop(cond, body, state0 + (jnp.int32(0),))
+        return fb, iters
     *_, fb = jax.lax.while_loop(cond, body, state0)
     return fb
 

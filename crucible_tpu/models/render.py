@@ -74,7 +74,7 @@ def default_rays_per_pass() -> int:
 @partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "spp", "max_depth", "lanes", "use_pallas", "schedule",
+        "width", "height", "max_depth", "lanes", "use_pallas", "schedule",
     ),
     donate_argnums=(),
 )
@@ -82,15 +82,20 @@ def _render_persistent(
     sd: SceneData,
     cp: CameraParams,
     seed,
+    spp,  # traced uint32 — one executable serves every sample count
     *,
     width: int,
     height: int,
-    spp: int,
     max_depth: int,
     lanes: int,
     use_pallas: bool,
     schedule: str = "pixel",
 ):
+    if schedule == "mega":
+        return integrator.trace_persistent_mega(
+            sd, cp, width, height, spp, max_depth, seed,
+            interpret=jax.default_backend() == "cpu",
+        )
     fn = (
         integrator.trace_persistent_queue
         if schedule == "queue"
@@ -109,10 +114,20 @@ def render_image_persistent(
     seed: int,
     lanes: int | None = None,
     use_pallas: bool | None = None,
-    schedule: str = "queue",
+    schedule: str = "auto",
 ) -> np.ndarray:
     """Whole-image render in ONE device dispatch via the persistent
-    wavefront (integrator.trace_persistent). The production TPU path."""
+    wavefront. The production TPU path.
+
+    ``schedule``: 'mega' (all-in-VMEM megakernel with per-tile exit — the
+    fast path for sphere scenes), 'pixel' (lane-per-pixel staged loop),
+    'queue' (strided global path schedule), or 'auto' (mega when the scene
+    supports it, else pixel)."""
+    auto = schedule == "auto"
+    if auto:
+        schedule = (
+            "mega" if integrator.megakernel_supported(sd, cp) else "pixel"
+        )
     if use_pallas is None:
         # The fused kernel avoids (R, N) HBM traffic entirely: measured
         # 213M ray-sphere closest-hits/s at 1M lanes vs 29M for the jnp
@@ -122,18 +137,25 @@ def render_image_persistent(
         # Target lane count: enough to saturate the chip (sample groups
         # replicate small pixel grids up to this), modest on CPU.
         lanes = 1 << 20 if jax.default_backend() != "cpu" else 1 << 13
-    fb = _render_persistent(
-        sd,
-        cp,
-        jnp.uint32(seed),
+    kw = dict(
         width=width,
         height=height,
-        spp=samples,
         max_depth=max_depth,
         lanes=lanes,
         use_pallas=use_pallas,
-        schedule=schedule,
     )
+    try:
+        fb = _render_persistent(
+            sd, cp, jnp.uint32(seed), jnp.uint32(samples), schedule=schedule, **kw
+        )
+    except Exception:
+        # Auto mode degrades gracefully if the megakernel doesn't lower on
+        # this toolchain (Mosaic op coverage varies across jaxlib releases).
+        if not (auto and schedule == "mega"):
+            raise
+        fb = _render_persistent(
+            sd, cp, jnp.uint32(seed), jnp.uint32(samples), schedule="pixel", **kw
+        )
     return np.asarray(fb).reshape(height, width, 3) / np.float32(samples)
 
 

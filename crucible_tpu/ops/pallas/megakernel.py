@@ -1,0 +1,424 @@
+"""Persistent path-tracing MEGAKERNEL for sphere scenes.
+
+The staged persistent loop (integrator.trace_persistent) runs the whole
+1M-lane wavefront in lockstep: every while_loop iteration pays the full
+(N_spheres x R) intersection cost even when most lanes are dead. Measured
+on book1 (tools/profile_persistent.py, v5e): 131 iterations x 24 ms for
+~7M useful lane-bounces out of 141M processed — ~5% utilization; the
+long-path tail (dielectric chains up to max_depth=50) holds the entire
+wavefront hostage.
+
+This kernel moves the COMPLETE persistent loop — camera ray generation,
+counter-based RNG, sphere intersection, winner-attribute fetch,
+solid/checker shading, Lambertian/metal/dielectric/emissive scatter,
+radiance accumulation, lane-local sample regeneration — inside one
+`pl.pallas_call`, tiled 512 rays per grid step:
+
+- Each tile's while_loop exits when ITS 512 lanes finish their spp samples:
+  sky-dominated tiles stop after ~spp*2 bounces; only tiles containing
+  glass pay for deep paths. Lane-per-pixel binding makes tiles spatially
+  coherent (they are contiguous pixel runs), which is what makes per-tile
+  exit profitable.
+- Zero HBM traffic per bounce: state (o/d/throughput/accumulator/sample
+  counters) lives in registers/VMEM for the tile's whole lifetime. The
+  staged loop reads+writes ~30 (R,3) HBM arrays per iteration.
+- Static scenes compile with the motion FMAs removed (``animated`` is a
+  Python flag), unlike the runtime w=0 of the staged kernel which still
+  pays them.
+
+Semantics are the lane-per-pixel persistent schedule of
+integrator.trace_persistent with groups=1: lane p walks pixel p's samples
+0..spp-1 sequentially; every random number is the same
+pcg4d(pixel, sample, stream, seed) hash (utils/rng.py), so images match
+the staged paths up to f32 association (same sample set, same decisions).
+
+Scope (static predicate `megakernel_supported`): sphere-only scenes,
+solid / checker-of-solid textures, default-gradient sky, static camera
+(the per-ray basis re-derivation for animated cameras stays in the staged
+path). Linearly-moving spheres ARE supported (motion columns of the
+attribute table, ops/pallas/sphere_shade.py layout).
+
+Reference behaviors mirrored: quadratic + nearest-root selection
+(src/objects/sphere.rs:61-105), t_min=1e-3 shadow acne epsilon
+(src/camera/ray_casting.rs:119), scatter programs
+(src/materials/{lambertian,metal,dielectric}.rs), default sky gradient
+(src/camera/ray_casting.rs:145-150), camera jitter/defocus
+(src/camera/ray_casting.rs:64-108).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+import numpy as np
+
+BIG = np.float32(3.0e38)
+TILE = 512
+C_IN = 32  # sphere attribute table columns (sphere_shade.py layout)
+
+# Camera constant vector layout (1, 32) f32:
+#  0-2 pixel00, 3-5 du, 6-8 dv, 9-11 look_from, 12-14 basis u, 15-17 basis v,
+#  18 defocus_radius, 19-31 pad.
+CAM_SIZE = 32
+
+# PCG4D in INT32: Mosaic supports no u32<->s32/f32 converts in-kernel, but
+# two's-complement mul/add/xor are bit-identical to uint32, and the one
+# logical shift uses lax.shift_right_logical — so these int32 streams equal
+# utils/rng.py's uint32 streams bit-for-bit.
+_PCG_MULT = np.int32(np.uint32(1664525))
+_PCG_ADD = np.int32(np.uint32(1013904223))
+_U24 = np.float32(1.0 / (1 << 24))
+
+# Stream ids (utils/rng.py — must stay in lockstep).
+STREAM_TIME = np.int32(0)
+STREAM_PIXEL_JITTER = np.int32(1)
+STREAM_BOUNCE_BASE = np.int32(3)
+
+LAMBERTIAN, METAL, DIELECTRIC, EMISSIVE = 0, 1, 2, 3
+TEX_CHECKER = 1
+
+
+def _srl(x, k):
+    return jax.lax.shift_right_logical(x, np.int32(k))
+
+
+def _pcg4d(x, y, z, w):
+    x = x * _PCG_MULT + _PCG_ADD
+    y = y * _PCG_MULT + _PCG_ADD
+    z = z * _PCG_MULT + _PCG_ADD
+    w = w * _PCG_MULT + _PCG_ADD
+    x = x + y * w
+    y = y + z * x
+    z = z + x * y
+    w = w + y * z
+    x = x ^ _srl(x, 16)
+    y = y ^ _srl(y, 16)
+    z = z ^ _srl(z, 16)
+    w = w ^ _srl(w, 16)
+    x = x + y * w
+    y = y + z * x
+    z = z + x * y
+    w = w + y * z
+    return x, y, z, w
+
+
+def _unit_f32(u):
+    # Logical shift keeps the top 24 bits non-negative -> exact s32->f32.
+    return _srl(u, 8).astype(jnp.float32) * _U24
+
+
+def _kernel(
+    smem_ref,  # (8,) int32: [spp, seed, width, max_depth, ...] in SMEM
+    pix_ref,  # (1, TILE) int32 pixel ids (clamped for padding lanes)
+    sample0_ref,  # (1, TILE) int32 initial sample index (>= spp for padding)
+    cam_ref,  # (1, CAM_SIZE) f32 camera constants
+    table_ref,  # (N, C_IN) f32 sphere attribute table
+    acc_ref,  # out: (3, TILE) f32 per-lane radiance sum
+    *,
+    animated: bool,
+    t_min,
+):
+    spp = smem_ref[0]
+    seed = smem_ref[1]
+    width = smem_ref[2]
+    max_depth = smem_ref[3]
+
+    pix = pix_ref[:]  # (1, T) int32
+    fi = (pix % width).astype(jnp.float32)
+    fj = (pix // width).astype(jnp.float32)
+
+    def cam(k):
+        return cam_ref[0, k]
+
+    # --- sphere columns, once per tile ------------------------------------
+    def col(c):
+        return table_ref[:, c : c + 1]  # (N, 1)
+
+    cx, cy, cz, rad = col(0), col(1), col(2), col(3)
+    s0, act = col(4), col(5)
+    if animated:
+        cdx, cdy, cdz, rd = col(24), col(25), col(26), col(27)
+        s1, s2 = col(28), col(29)
+
+    zeros = jnp.zeros((1, TILE), jnp.float32)
+
+    def uniform4(smp, stream):
+        x, y, z, w = _pcg4d(pix, smp, jnp.broadcast_to(stream, pix.shape),
+                            jnp.broadcast_to(seed, pix.shape))
+        return _unit_f32(x), _unit_f32(y), _unit_f32(z), _unit_f32(w)
+
+    def body(state):
+        sample_i, alive_m, bounce, ox, oy, oz, dx, dy, dz, tx, ty, tz, ax, ay, az = state
+        alive = alive_m > 0  # loop-carried as int32: Mosaic can't carry i1 vectors
+
+        # --- lane-local regeneration (integrator.trace_persistent) --------
+        issue = (~alive) & (sample_i < spp)
+        ux, uy, ud1, ud2 = uniform4(sample_i, STREAM_PIXEL_JITTER)
+        px = cam(0) + (fi + ux - 0.5) * cam(3) + (fj + uy - 0.5) * cam(6)
+        py = cam(1) + (fi + ux - 0.5) * cam(4) + (fj + uy - 0.5) * cam(7)
+        pz = cam(2) + (fi + ux - 0.5) * cam(5) + (fj + uy - 0.5) * cam(8)
+        # Defocus disk (radius 0 => exactly look_from, matching the staged
+        # path's where(use_defocus) select).
+        dr = jnp.sqrt(ud1) * cam(18)
+        dphi = (2.0 * np.pi) * ud2
+        da = dr * jnp.cos(dphi)
+        db = dr * jnp.sin(dphi)
+        nox = cam(9) + da * cam(12) + db * cam(15)
+        noy = cam(10) + da * cam(13) + db * cam(16)
+        noz = cam(11) + da * cam(14) + db * cam(17)
+        ox = jnp.where(issue, nox, ox)
+        oy = jnp.where(issue, noy, oy)
+        oz = jnp.where(issue, noz, oz)
+        dx = jnp.where(issue, px - nox, dx)
+        dy = jnp.where(issue, py - noy, dy)
+        dz = jnp.where(issue, pz - noz, dz)
+        tx = jnp.where(issue, 1.0, tx)
+        ty = jnp.where(issue, 1.0, ty)
+        tz = jnp.where(issue, 1.0, tz)
+        bounce = jnp.where(issue, 0, bounce)
+        alive = alive | issue
+        smp = jnp.where(alive & ~issue, sample_i - 1, sample_i)
+        sample_i = jnp.where(issue, sample_i + 1, sample_i)
+
+        # --- intersect all spheres (N, T) ----------------------------------
+        if animated:
+            w_t, _, _, _ = uniform4(smp, jnp.broadcast_to(STREAM_TIME, pix.shape))
+        a_q = dx * dx + dy * dy + dz * dz  # (1, T)
+        d_dot_o = dx * ox + dy * oy + dz * oz
+        o_sq = ox * ox + oy * oy + oz * oz
+        dc = cx * dx + cy * dy + cz * dz  # (N, T)
+        oc = cx * ox + cy * oy + cz * oz
+        csr = s0
+        if animated:
+            dc = dc + w_t * (cdx * dx + cdy * dy + cdz * dz)
+            oc = oc + w_t * (cdx * ox + cdy * oy + cdz * oz)
+            csr = csr + (2.0 * w_t) * s1 + (w_t * w_t) * s2
+        h = dc - d_dot_o
+        c_q = csr - 2.0 * oc + o_sq
+        disc = h * h - a_q * c_q
+        sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+        inv_a = 1.0 / a_q
+        root0 = (h - sqrtd) * inv_a
+        root1 = (h + sqrtd) * inv_a
+        ok0 = (root0 > t_min) & (root0 < BIG)
+        ok1 = (root1 > t_min) & (root1 < BIG)
+        root = jnp.where(ok0, root0, root1)
+        valid = (disc >= 0.0) & (ok0 | ok1) & (act > 0.0)
+        t_all = jnp.where(valid, root, BIG)
+
+        t = jnp.min(t_all, axis=0, keepdims=True)  # (1, T)
+        rows = jax.lax.broadcasted_iota(jnp.int32, t_all.shape, 0)
+        idx = jnp.min(jnp.where(t_all == t, rows, jnp.int32(2**30)), axis=0,
+                      keepdims=True)
+        win = (rows == idx) & (t < BIG)  # exact one-hot (N, T)
+        hit = t[0:1, :] < BIG
+
+        def fetch(c):
+            return jnp.sum(jnp.where(win, col(c), 0.0), axis=0, keepdims=True)
+
+        # --- shading point + outward normal --------------------------------
+        t_sh = jnp.where(hit, t, 1.0)
+        hx = ox + t_sh * dx
+        hy = oy + t_sh * dy
+        hz = oz + t_sh * dz
+        wcx, wcy, wcz, wr = fetch(0), fetch(1), fetch(2), fetch(3)
+        if animated:
+            wcx = wcx + w_t * fetch(24)
+            wcy = wcy + w_t * fetch(25)
+            wcz = wcz + w_t * fetch(26)
+            wr = wr + w_t * fetch(27)
+        inv_r = 1.0 / jnp.maximum(wr, 1e-20)
+        nx = (hx - wcx) * inv_r
+        ny = (hy - wcy) * inv_r
+        nz = (hz - wcz) * inv_r
+        front = dx * nx + dy * ny + dz * nz < 0.0
+        sgn = jnp.where(front, 1.0, -1.0)
+        nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
+
+        # --- sky (default gradient) + emission ------------------------------
+        inv_dlen = jax.lax.rsqrt(jnp.maximum(a_q, 1e-40))
+        sky_a = 0.5 * (dy * inv_dlen + 1.0)
+        one_m_a = 1.0 - sky_a
+        skyr = one_m_a + sky_a * 0.5
+        skyg = one_m_a + sky_a * 0.7
+        skyb = one_m_a + sky_a
+        cr = jnp.where(hit, fetch(10), skyr)
+        cg = jnp.where(hit, fetch(11), skyg)
+        cb = jnp.where(hit, fetch(12), skyb)
+        ax = ax + jnp.where(alive, tx * cr, 0.0)
+        ay = ay + jnp.where(alive, ty * cg, 0.0)
+        az = az + jnp.where(alive, tz * cb, 0.0)
+
+        # --- albedo: solid or 3-D checker of solids (models/textures.py) ---
+        inv_scale = fetch(17)
+        xf = jnp.floor(inv_scale * hx).astype(jnp.int32)
+        yf = jnp.floor(inv_scale * hy).astype(jnp.int32)
+        zf = jnp.floor(inv_scale * hz).astype(jnp.int32)
+        is_even = (xf + yf + zf) % 2 == 0
+        is_checker = fetch(13) == np.float32(TEX_CHECKER)
+        alr = jnp.where(is_checker, jnp.where(is_even, fetch(18), fetch(21)), fetch(14))
+        alg = jnp.where(is_checker, jnp.where(is_even, fetch(19), fetch(22)), fetch(15))
+        alb = jnp.where(is_checker, jnp.where(is_even, fetch(20), fetch(23)), fetch(16))
+
+        # --- scatter (models/materials.py) ----------------------------------
+        mat_type = fetch(6)
+        fuzz = fetch(7)
+        ior = fetch(8)
+        prob = fetch(9)
+        u1, u2, u_dec, _ = uniform4(smp, STREAM_BOUNCE_BASE + bounce)
+
+        # Uniform unit vector (ops/sampling.py).
+        rz = 1.0 - 2.0 * u1
+        rr = jnp.sqrt(jnp.maximum(0.0, 1.0 - rz * rz))
+        rphi = (2.0 * np.pi) * u2
+        rx = rr * jnp.cos(rphi)
+        ry = rr * jnp.sin(rphi)
+
+        # Lambertian.
+        lamx, lamy, lamz = nx + rx, ny + ry, nz + rz
+        degenerate = (
+            (jnp.abs(lamx) < 1e-8) & (jnp.abs(lamy) < 1e-8) & (jnp.abs(lamz) < 1e-8)
+        )
+        lamx = jnp.where(degenerate, nx, lamx)
+        lamy = jnp.where(degenerate, ny, lamy)
+        lamz = jnp.where(degenerate, nz, lamz)
+        inv_prob = 1.0 / jnp.maximum(prob, 1e-8)
+        lam_alive = u_dec <= prob
+
+        # Metal: reflect(d, n) normalized + fuzz * unit.
+        d_dot_n = dx * nx + dy * ny + dz * nz
+        refx = dx - 2.0 * d_dot_n * nx
+        refy = dy - 2.0 * d_dot_n * ny
+        refz = dz - 2.0 * d_dot_n * nz
+        inv_rlen = jax.lax.rsqrt(
+            jnp.maximum(refx * refx + refy * refy + refz * refz, 1e-40)
+        )
+        metx = refx * inv_rlen + fuzz * rx
+        mety = refy * inv_rlen + fuzz * ry
+        metz = refz * inv_rlen + fuzz * rz
+        met_alive = metx * nx + mety * ny + metz * nz > 0.0
+
+        # Dielectric: Snell + Schlick on the UNIT incoming direction.
+        udx, udy, udz = dx * inv_dlen, dy * inv_dlen, dz * inv_dlen
+        ri = jnp.where(front, 1.0 / jnp.maximum(ior, 1e-8), ior)
+        cos_t = jnp.minimum(-(udx * nx + udy * ny + udz * nz), 1.0)
+        sin_t = jnp.sqrt(jnp.maximum(1.0e-12, 1.0 - cos_t * cos_t))
+        r0 = (1.0 - ri) / (1.0 + ri)
+        r0 = r0 * r0
+        one_m = 1.0 - cos_t
+        om2 = one_m * one_m
+        schlick = r0 + (1.0 - r0) * om2 * om2 * one_m
+        reflect_choice = (ri * sin_t > 1.0) | (schlick > u_dec)
+        ud_dot_n = udx * nx + udy * ny + udz * nz
+        drefx = udx - 2.0 * ud_dot_n * nx
+        drefy = udy - 2.0 * ud_dot_n * ny
+        drefz = udz - 2.0 * ud_dot_n * nz
+        # refract (utils/vec.py::refract): perp = ri*(ud + cos*n); par =
+        # -sqrt(|1-|perp|^2|) * n.
+        ppx = ri * (udx + cos_t * nx)
+        ppy = ri * (udy + cos_t * ny)
+        ppz = ri * (udz + cos_t * nz)
+        pp_sq = ppx * ppx + ppy * ppy + ppz * ppz
+        par = -jnp.sqrt(jnp.abs(1.0 - pp_sq))
+        refrx = ppx + par * nx
+        refry = ppy + par * ny
+        refrz = ppz + par * nz
+        diex = jnp.where(reflect_choice, drefx, refrx)
+        diey = jnp.where(reflect_choice, drefy, refry)
+        diez = jnp.where(reflect_choice, drefz, refrz)
+
+        is_metal = mat_type == np.float32(METAL)
+        is_diel = mat_type == np.float32(DIELECTRIC)
+        is_emis = mat_type == np.float32(EMISSIVE)
+        ndx = jnp.where(is_diel, diex, jnp.where(is_metal, metx, lamx))
+        ndy = jnp.where(is_diel, diey, jnp.where(is_metal, mety, lamy))
+        ndz = jnp.where(is_diel, diez, jnp.where(is_metal, metz, lamz))
+        atr = jnp.where(is_diel, 1.0, jnp.where(is_metal, alr, alr * inv_prob))
+        atg = jnp.where(is_diel, 1.0, jnp.where(is_metal, alg, alg * inv_prob))
+        atb = jnp.where(is_diel, 1.0, jnp.where(is_metal, alb, alb * inv_prob))
+        # Pure i1 algebra — Mosaic cannot lower a select over i1 vectors.
+        scattered = (
+            is_diel
+            | (is_metal & met_alive)
+            | (~is_metal & ~is_diel & lam_alive)
+        ) & ~is_emis
+
+        cont = alive & hit & scattered & (bounce + 1 < max_depth)
+        tx = jnp.where(cont, tx * atr, tx)
+        ty = jnp.where(cont, ty * atg, ty)
+        tz = jnp.where(cont, tz * atb, tz)
+        ox = jnp.where(cont, hx, ox)
+        oy = jnp.where(cont, hy, oy)
+        oz = jnp.where(cont, hz, oz)
+        dx = jnp.where(cont, ndx, dx)
+        dy = jnp.where(cont, ndy, dy)
+        dz = jnp.where(cont, ndz, dz)
+        bounce = bounce + 1
+        cont_m = jnp.where(cont, 1, 0).astype(jnp.int32)
+        return (sample_i, cont_m, bounce, ox, oy, oz, dx, dy, dz, tx, ty, tz, ax, ay, az)
+
+    def cond(state):
+        sample_i, alive_m = state[0], state[1]
+        pending = jnp.where(sample_i < spp, 1, alive_m)
+        return jnp.max(pending) > 0
+
+    sample00 = sample0_ref[:]
+    state0 = (
+        sample00,
+        jnp.zeros((1, TILE), jnp.int32),  # alive mask
+        jnp.zeros((1, TILE), jnp.int32),
+        zeros, zeros, zeros,  # o
+        zeros, zeros, jnp.ones((1, TILE), jnp.float32),  # d (unit-ish filler)
+        zeros, zeros, zeros,  # throughput (dead)
+        zeros, zeros, zeros,  # acc
+    )
+    out = jax.lax.while_loop(cond, body, state0)
+    ax, ay, az = out[12], out[13], out[14]
+    acc_ref[0:1, :] = ax
+    acc_ref[1:2, :] = ay
+    acc_ref[2:3, :] = az
+
+
+@functools.partial(
+    jax.jit, static_argnames=("animated", "t_min", "interpret")
+)
+def run_megakernel(
+    smem,  # (8,) int32 [spp, seed, width, max_depth, 0...]
+    pix,  # (1, R) int32
+    sample0,  # (1, R) int32
+    cam,  # (1, CAM_SIZE) f32
+    table,  # (N, C_IN) f32
+    *,
+    animated: bool,
+    t_min=1.0e-3,
+    interpret: bool = False,
+):
+    """Dispatch the persistent megakernel -> per-lane radiance sums (3, R)."""
+    r = pix.shape[1]
+    n = table.shape[0]
+    assert r % TILE == 0, f"R={r} not a multiple of {TILE}"
+    assert table.shape[1] == C_IN and cam.shape == (1, CAM_SIZE)
+
+    kernel = functools.partial(_kernel, animated=animated, t_min=np.float32(t_min))
+    grid = (r // TILE,)
+    (acc,) = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CAM_SIZE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, C_IN), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((3, r), jnp.float32)],
+        interpret=interpret,
+    )(smem, pix, sample0, cam, table)
+    return acc

@@ -107,11 +107,42 @@ class TestIntegratorSemantics:
 
 
 class TestRendererModes:
-    def test_persistent_equals_tiled(self):
+    def test_persistent_schedules_equal_tiled(self):
         sc = demo.book1_end_scene(width=64)
-        a = render.render_image(sc, samples=4, max_depth=8, mode="tiled")
-        b = render.render_image(sc, samples=4, max_depth=8, mode="persistent")
-        np.testing.assert_allclose(a, b, atol=1e-5)
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
+        a = render.render_image_data(sd, cp, w, h, 4, 8, 0, mode="tiled")
+        for schedule in ("pixel", "queue"):
+            b = render.render_image_persistent(
+                sd, cp, w, h, 4, 8, 0, schedule=schedule
+            )
+            np.testing.assert_allclose(a, b, atol=1e-5, err_msg=schedule)
+
+    def test_megakernel_matches_staged(self):
+        # Decision-light scene (lambertian only): the megakernel's f32
+        # reassociation cannot flip branch decisions -> tight match. Chaotic
+        # scenes (book1 glass) only match statistically; covered on-chip by
+        # tools/tpu_bench.py.
+        sc = demo.smoke_scene(width=64)
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
+        assert integrator.megakernel_supported(sd, cp)
+        ref = integrator.trace_persistent(
+            sd, cp, w, h, 8, 8, jnp.uint32(0), lanes=512, use_pallas=False
+        )
+        mega = integrator.trace_persistent_mega(
+            sd, cp, w, h, jnp.uint32(8), 8, jnp.uint32(0), interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(mega), atol=1e-4)
+
+    def test_megakernel_unsupported_scenes_fall_back(self):
+        # Image-textured scene -> staged path must be picked by auto.
+        sc = demo.earth(width=32)
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        assert not integrator.megakernel_supported(sd, cp)
 
     def test_seed_changes_noise_not_structure(self):
         sc = demo.smoke_scene(width=48)
