@@ -531,6 +531,9 @@ def trace_persistent_mega(
     lanes: int = 0,  # accepted for signature parity; lane count = pixels
     use_pallas: bool = True,  # ditto
     interpret: bool = False,
+    cluster_perm=None,  # (N_pad,) int32 from megakernel.cluster_spheres
+    cluster_bounds=None,  # (K, 8) f32 chunk AABBs (enables chunk culling)
+    swizzle: bool = True,
 ):
     """Whole persistent render in ONE pallas kernel (see megakernel.py).
 
@@ -539,15 +542,41 @@ def trace_persistent_mega(
     global wavefront barrier. Returns the per-pixel radiance SUM
     (num_pixels, 3). ``spp``, ``max_depth`` and ``seed`` are traced — one
     executable per (scene shape, image size).
+
+    ``swizzle`` maps each 512-lane tile to a 32x16 PIXEL BLOCK instead of
+    1.3 scanlines: compact tile frustums mean coherent path lengths (earlier
+    per-tile exit) and fewer sphere chunks per tile under cluster culling.
+    Per-pixel output is bit-identical either way (lane assignment only).
     """
     from crucible_tpu.ops.pallas import megakernel as mk
     from crucible_tpu.utils import vec
 
     num_pixels = width * height
-    r = ((num_pixels + mk.TILE - 1) // mk.TILE) * mk.TILE
-    lane = jnp.arange(r, dtype=jnp.int32)
-    pix = jnp.minimum(lane, num_pixels - 1).reshape(1, r)
-    sample0 = jnp.where(lane >= num_pixels, jnp.int32(2**30), 0).reshape(1, r)
+    if swizzle:
+        bw, bh = 32, mk.TILE // 32
+        gx = (width + bw - 1) // bw
+        gy = (height + bh - 1) // bh
+        r = gx * gy * mk.TILE
+        lane = jnp.arange(r, dtype=jnp.int32)
+        tile, q = lane // mk.TILE, lane % mk.TILE
+        px = (tile % gx) * bw + q % bw
+        py = (tile // gx) * bh + q // bw
+        valid = (px < width) & (py < height)
+        pix = (
+            jnp.minimum(py, height - 1) * width + jnp.minimum(px, width - 1)
+        ).reshape(1, r)
+        sample0 = jnp.where(valid, 0, jnp.int32(2**30)).reshape(1, r)
+        p = jnp.arange(num_pixels, dtype=jnp.int32)
+        ppx, ppy = p % width, p // width
+        lane_of = (
+            ((ppy // bh) * gx + ppx // bw) * mk.TILE + (ppy % bh) * bw + ppx % bw
+        )
+    else:
+        r = ((num_pixels + mk.TILE - 1) // mk.TILE) * mk.TILE
+        lane = jnp.arange(r, dtype=jnp.int32)
+        pix = jnp.minimum(lane, num_pixels - 1).reshape(1, r)
+        sample0 = jnp.where(lane >= num_pixels, jnp.int32(2**30), 0).reshape(1, r)
+        lane_of = None
 
     # Camera constants — the static-camera specialization of
     # models/camera.py::generate_rays (identical formulas and eps).
@@ -579,10 +608,17 @@ def trace_persistent_mega(
         ]
     )
     table = make_sphere_table(sd)
+    if cluster_bounds is not None:
+        n_pad = cluster_perm.shape[0]
+        if n_pad > table.shape[0]:
+            table = jnp.pad(table, ((0, n_pad - table.shape[0]), (0, 0)))
+        table = jnp.take(table, cluster_perm, axis=0)
     acc = mk.run_megakernel(
-        smem, pix, sample0, cam, table,
+        smem, pix, sample0, cam, table, cluster_bounds,
         animated=bool(sd.animated), interpret=interpret,
     )
+    if lane_of is not None:
+        return jnp.take(acc.T, lane_of, axis=0)
     return acc.T[:num_pixels]
 
 

@@ -83,6 +83,8 @@ def _render_persistent(
     cp: CameraParams,
     seed,
     spp,  # traced uint32 — one executable serves every sample count
+    cluster_perm=None,  # megakernel chunk culling (built host-side)
+    cluster_bounds=None,
     *,
     width: int,
     height: int,
@@ -95,6 +97,8 @@ def _render_persistent(
         return integrator.trace_persistent_mega(
             sd, cp, width, height, spp, max_depth, seed,
             interpret=jax.default_backend() == "cpu",
+            cluster_perm=cluster_perm,
+            cluster_bounds=cluster_bounds,
         )
     fn = (
         integrator.trace_persistent_queue
@@ -144,18 +148,21 @@ def render_image_persistent(
         lanes=lanes,
         use_pallas=use_pallas,
     )
+    # Note: megakernel cluster culling (megakernel.cluster_spheres) measured
+    # SLOWER on v5e for book1-class scenes — 16 lax.cond chunks add ~8 us to
+    # an ~12 us tile-iteration while few chunks skip. The driver therefore
+    # runs the brute-force megakernel; clustering stays available (and
+    # bit-exact-tested) via trace_persistent_mega's cluster_* args for
+    # many-sphere scenes where skipping wins.
+    args = [sd, cp, jnp.uint32(seed), jnp.uint32(samples)]
     try:
-        fb = _render_persistent(
-            sd, cp, jnp.uint32(seed), jnp.uint32(samples), schedule=schedule, **kw
-        )
+        fb = _render_persistent(*args, schedule=schedule, **kw)
     except Exception:
         # Auto mode degrades gracefully if the megakernel doesn't lower on
         # this toolchain (Mosaic op coverage varies across jaxlib releases).
         if not (auto and schedule == "mega"):
             raise
-        fb = _render_persistent(
-            sd, cp, jnp.uint32(seed), jnp.uint32(samples), schedule="pixel", **kw
-        )
+        fb = _render_persistent(*args[:4], schedule="pixel", **kw)
     return np.asarray(fb).reshape(height, width, 3) / np.float32(samples)
 
 

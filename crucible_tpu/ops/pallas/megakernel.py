@@ -111,17 +111,93 @@ def _unit_f32(u):
     return _srl(u, 8).astype(jnp.float32) * _U24
 
 
+CLUSTER = 32  # spheres per culling chunk
+_FAR = np.float32(1.0e30)  # empty-chunk sentinel: a far point box never hits
+
+
+def cluster_spheres(center, radius, active, center_d=None, radius_d=None):
+    """Host-side spatial clustering for in-kernel chunk culling.
+
+    Recursive median split on the longest centroid axis (the same build rule
+    as the reference BVH, src/objects/bvhwrapper.rs:46-80) with split points
+    aligned to CLUSTER, so every 32-row slice of the permuted table is a
+    spatially tight cluster. Returns (perm, bounds):
+      perm: (N,) int32 — active spheres in split order, inactive last.
+      bounds: (ceil(N/CLUSTER), 8) f32 — chunk AABB lo(3)/hi(3), padding.
+    For linear motion the AABB is the union over the shutter (endpoints of a
+    linear path bound the whole segment). Empty chunks get a far point box.
+    """
+    center = np.asarray(center, np.float64)
+    radius = np.abs(np.asarray(radius, np.float64))
+    active = np.asarray(active).astype(bool)
+    n = center.shape[0]
+
+    act_ids = np.nonzero(active)[0]
+    order = []
+
+    def rec(ids):
+        if len(ids) <= CLUSTER:
+            order.extend(ids.tolist())
+            return
+        c = center[ids]
+        ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        ids = ids[np.argsort(c[:, ax], kind="stable")]
+        half = max(CLUSTER, (len(ids) // 2 // CLUSTER) * CLUSTER)
+        rec(ids[:half])
+        rec(ids[half:])
+
+    rec(act_ids)
+    inact = np.nonzero(~active)[0]
+    n_pad = ((n + CLUSTER - 1) // CLUSTER) * CLUSTER
+    # Indices >= n address zero pad rows the caller appends to the table.
+    perm = np.concatenate(
+        [np.asarray(order, np.int64), inact, np.arange(n, n_pad)]
+    ).astype(np.int32)
+    assert perm.shape[0] == n_pad
+
+    lo_all = center - radius[:, None]
+    hi_all = center + radius[:, None]
+    if center_d is not None:
+        c1 = center + np.asarray(center_d, np.float64)
+        r1 = np.abs(radius + np.asarray(radius_d, np.float64))
+        lo_all = np.minimum(lo_all, c1 - r1[:, None])
+        hi_all = np.maximum(hi_all, c1 + r1[:, None])
+
+    k = n_pad // CLUSTER
+    bounds = np.zeros((k, 8), np.float32)
+    for ci in range(k):
+        rows = perm[ci * CLUSTER : (ci + 1) * CLUSTER]
+        rows = rows[rows < n]
+        rows = rows[active[rows]]
+        if rows.size == 0:
+            bounds[ci, 0:3] = _FAR
+            bounds[ci, 3:6] = _FAR
+        else:
+            lo = lo_all[rows].min(axis=0)
+            hi = hi_all[rows].max(axis=0)
+            # Pad by a few ulps so f32 rounding of the kernel's quadratic
+            # can never land a true hit epsilon-outside the box.
+            pad = 1e-5 * (1.0 + np.maximum(np.abs(lo), np.abs(hi)))
+            bounds[ci, 0:3] = (lo - pad).astype(np.float32)
+            bounds[ci, 3:6] = (hi + pad).astype(np.float32)
+    return perm, bounds
+
+
 def _kernel(
     smem_ref,  # (8,) int32: [spp, seed, width, max_depth, ...] in SMEM
     pix_ref,  # (1, TILE) int32 pixel ids (clamped for padding lanes)
     sample0_ref,  # (1, TILE) int32 initial sample index (>= spp for padding)
     cam_ref,  # (1, CAM_SIZE) f32 camera constants
     table_ref,  # (N, C_IN) f32 sphere attribute table
-    acc_ref,  # out: (3, TILE) f32 per-lane radiance sum
-    *,
+    *rest,  # [cbounds_ref (K, 8) if n_chunks] + [acc_ref out (3, TILE)]
     animated: bool,
     t_min,
+    n_chunks: int = 0,
 ):
+    if n_chunks:
+        cbounds_ref, acc_ref = rest
+    else:
+        (acc_ref,) = rest
     spp = smem_ref[0]
     seed = smem_ref[1]
     width = smem_ref[2]
@@ -134,17 +210,16 @@ def _kernel(
     def cam(k):
         return cam_ref[0, k]
 
-    # --- sphere columns, once per tile ------------------------------------
+    # --- sphere column accessor --------------------------------------------
     def col(c):
         return table_ref[:, c : c + 1]  # (N, 1)
 
-    cx, cy, cz, rad = col(0), col(1), col(2), col(3)
-    s0, act = col(4), col(5)
-    if animated:
-        cdx, cdy, cdz, rd = col(24), col(25), col(26), col(27)
-        s1, s2 = col(28), col(29)
-
     zeros = jnp.zeros((1, TILE), jnp.float32)
+
+    # Winner attribute columns consumed by the shading code below.
+    attr_cols = [0, 1, 2, 3] + list(range(6, 24)) + (
+        [24, 25, 26, 27] if animated else []
+    )
 
     def uniform4(smp, stream):
         x, y, z, w = _pcg4d(pix, smp, jnp.broadcast_to(stream, pix.shape),
@@ -184,41 +259,127 @@ def _kernel(
         smp = jnp.where(alive & ~issue, sample_i - 1, sample_i)
         sample_i = jnp.where(issue, sample_i + 1, sample_i)
 
-        # --- intersect all spheres (N, T) ----------------------------------
+        # --- intersect spheres ----------------------------------------------
         if animated:
             w_t, _, _, _ = uniform4(smp, jnp.broadcast_to(STREAM_TIME, pix.shape))
         a_q = dx * dx + dy * dy + dz * dz  # (1, T)
         d_dot_o = dx * ox + dy * oy + dz * oz
         o_sq = ox * ox + oy * oy + oz * oz
-        dc = cx * dx + cy * dy + cz * dz  # (N, T)
-        oc = cx * ox + cy * oy + cz * oz
-        csr = s0
-        if animated:
-            dc = dc + w_t * (cdx * dx + cdy * dy + cdz * dz)
-            oc = oc + w_t * (cdx * ox + cdy * oy + cdz * oz)
-            csr = csr + (2.0 * w_t) * s1 + (w_t * w_t) * s2
-        h = dc - d_dot_o
-        c_q = csr - 2.0 * oc + o_sq
-        disc = h * h - a_q * c_q
-        sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
         inv_a = 1.0 / a_q
-        root0 = (h - sqrtd) * inv_a
-        root1 = (h + sqrtd) * inv_a
-        ok0 = (root0 > t_min) & (root0 < BIG)
-        ok1 = (root1 > t_min) & (root1 < BIG)
-        root = jnp.where(ok0, root0, root1)
-        valid = (disc >= 0.0) & (ok0 | ok1) & (act > 0.0)
-        t_all = jnp.where(valid, root, BIG)
 
-        t = jnp.min(t_all, axis=0, keepdims=True)  # (1, T)
-        rows = jax.lax.broadcasted_iota(jnp.int32, t_all.shape, 0)
-        idx = jnp.min(jnp.where(t_all == t, rows, jnp.int32(2**30)), axis=0,
-                      keepdims=True)
-        win = (rows == idx) & (t < BIG)  # exact one-hot (N, T)
-        hit = t[0:1, :] < BIG
+        def quad_t(colf):
+            """Quadratic closest-root t for a (rows, T) column slice."""
+            cxk, cyk, czk = colf(0), colf(1), colf(2)
+            dck = cxk * dx + cyk * dy + czk * dz
+            ock = cxk * ox + cyk * oy + czk * oz
+            csrk = colf(4)
+            if animated:
+                cdxk, cdyk, cdzk = colf(24), colf(25), colf(26)
+                dck = dck + w_t * (cdxk * dx + cdyk * dy + cdzk * dz)
+                ock = ock + w_t * (cdxk * ox + cdyk * oy + cdzk * oz)
+                csrk = csrk + (2.0 * w_t) * colf(28) + (w_t * w_t) * colf(29)
+            h = dck - d_dot_o
+            c_q = csrk - 2.0 * ock + o_sq
+            disc = h * h - a_q * c_q
+            sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+            root0 = (h - sqrtd) * inv_a
+            root1 = (h + sqrtd) * inv_a
+            ok0 = (root0 > t_min) & (root0 < BIG)
+            ok1 = (root1 > t_min) & (root1 < BIG)
+            root = jnp.where(ok0, root0, root1)
+            valid = (disc >= 0.0) & (ok0 | ok1) & (colf(5) > 0.0)
+            return jnp.where(valid, root, BIG)
+
+        if n_chunks == 0:
+            # Brute force over all N rows (small scenes / no clustering).
+            t_all = quad_t(col)
+            t = jnp.min(t_all, axis=0, keepdims=True)  # (1, T)
+            rows = jax.lax.broadcasted_iota(jnp.int32, t_all.shape, 0)
+            idx = jnp.min(
+                jnp.where(t_all == t, rows, jnp.int32(2**30)), axis=0,
+                keepdims=True,
+            )
+            win = (rows == idx) & (t < BIG)  # exact one-hot (N, T)
+            hit = t[0:1, :] < BIG
+            attrs = {
+                c: jnp.sum(jnp.where(win, col(c), 0.0), axis=0, keepdims=True)
+                for c in attr_cols
+            }
+        else:
+            # Chunked: slab-test each cluster's AABB against the live rays
+            # and lax.cond-skip chunks nobody can hit. Tiles are contiguous
+            # pixel runs, so live rays stay coherent and most chunks skip.
+            def safe_inv(d):
+                return 1.0 / jnp.where(
+                    jnp.abs(d) < 1e-30, jnp.where(d >= 0, 1e-30, -1e-30), d
+                )
+
+            inv_dx, inv_dy, inv_dz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+            def colk_fn(k):
+                def colk(c):
+                    return table_ref[k * CLUSTER : (k + 1) * CLUSTER, c : c + 1]
+                return colk
+
+            t = jnp.full((1, TILE), BIG)
+            idx = jnp.zeros((1, TILE), jnp.int32)
+            for k in range(n_chunks):
+                t0x = (cbounds_ref[k, 0] - ox) * inv_dx
+                t1x = (cbounds_ref[k, 3] - ox) * inv_dx
+                t0y = (cbounds_ref[k, 1] - oy) * inv_dy
+                t1y = (cbounds_ref[k, 4] - oy) * inv_dy
+                t0z = (cbounds_ref[k, 2] - oz) * inv_dz
+                t1z = (cbounds_ref[k, 5] - oz) * inv_dz
+                enter = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), t_min),
+                )
+                exitv = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                    jnp.minimum(jnp.maximum(t0z, t1z), t),
+                )
+                boxhit = (enter <= exitv) & alive
+                pred = jnp.max(jnp.where(boxhit, 1, 0)) > 0
+
+                def chunk_hit(carry, k=k):
+                    tb, ib = carry
+                    t_all_k = quad_t(colk_fn(k))
+                    tk = jnp.min(t_all_k, axis=0, keepdims=True)
+                    rk = jax.lax.broadcasted_iota(jnp.int32, t_all_k.shape, 0)
+                    ik = jnp.min(
+                        jnp.where(t_all_k == tk, rk, jnp.int32(2**30)),
+                        axis=0, keepdims=True,
+                    ) + k * CLUSTER
+                    better = tk < tb
+                    return jnp.where(better, tk, tb), jnp.where(better, ik, ib)
+
+                t, idx = jax.lax.cond(pred, chunk_hit, lambda c: c, (t, idx))
+
+            hit = t[0:1, :] < BIG
+            win_chunk = idx // CLUSTER
+            vals = tuple(zeros for _ in attr_cols)
+            for k in range(n_chunks):
+                predf = jnp.max(
+                    jnp.where(hit & (win_chunk == k), 1, 0)
+                ) > 0
+
+                def fetch_chunk(vs, k=k):
+                    colk = colk_fn(k)
+                    rk = jax.lax.broadcasted_iota(
+                        jnp.int32, (CLUSTER, TILE), 0
+                    ) + k * CLUSTER
+                    win = (rk == idx) & hit
+                    return tuple(
+                        v + jnp.sum(jnp.where(win, colk(c), 0.0), axis=0,
+                                    keepdims=True)
+                        for v, c in zip(vs, attr_cols)
+                    )
+
+                vals = jax.lax.cond(predf, fetch_chunk, lambda v: v, vals)
+            attrs = dict(zip(attr_cols, vals))
 
         def fetch(c):
-            return jnp.sum(jnp.where(win, col(c), 0.0), axis=0, keepdims=True)
+            return attrs[c]
 
         # --- shading point + outward normal --------------------------------
         t_sh = jnp.where(hit, t, 1.0)
@@ -391,7 +552,8 @@ def run_megakernel(
     pix,  # (1, R) int32
     sample0,  # (1, R) int32
     cam,  # (1, CAM_SIZE) f32
-    table,  # (N, C_IN) f32
+    table,  # (N, C_IN) f32 (cluster-permuted when cbounds is given)
+    cbounds=None,  # (K, 8) f32 chunk AABBs (cluster_spheres) or None
     *,
     animated: bool,
     t_min=1.0e-3,
@@ -402,8 +564,20 @@ def run_megakernel(
     n = table.shape[0]
     assert r % TILE == 0, f"R={r} not a multiple of {TILE}"
     assert table.shape[1] == C_IN and cam.shape == (1, CAM_SIZE)
+    n_chunks = 0
+    extra_in = []
+    extra_specs = []
+    if cbounds is not None:
+        n_chunks = cbounds.shape[0]
+        assert n_chunks * CLUSTER == n, (n_chunks, n)
+        extra_in = [cbounds]
+        extra_specs = [
+            pl.BlockSpec((n_chunks, 8), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        ]
 
-    kernel = functools.partial(_kernel, animated=animated, t_min=np.float32(t_min))
+    kernel = functools.partial(
+        _kernel, animated=animated, t_min=np.float32(t_min), n_chunks=n_chunks
+    )
     grid = (r // TILE,)
     (acc,) = pl.pallas_call(
         kernel,
@@ -414,11 +588,12 @@ def run_megakernel(
             pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, CAM_SIZE), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, C_IN), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        ]
+        + extra_specs,
         out_specs=[
             pl.BlockSpec((3, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((3, r), jnp.float32)],
         interpret=interpret,
-    )(smem, pix, sample0, cam, table)
+    )(smem, pix, sample0, cam, table, *extra_in)
     return acc

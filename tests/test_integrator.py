@@ -137,6 +137,29 @@ class TestRendererModes:
         )
         np.testing.assert_allclose(np.asarray(ref), np.asarray(mega), atol=1e-4)
 
+    def test_megakernel_cluster_culling_exact(self):
+        # Chunk culling is a pure skip optimization: the clustered kernel
+        # must be BIT-identical to the brute-force megakernel.
+        from crucible_tpu.ops.pallas import megakernel as mk
+
+        sc = demo.book1_end_scene(width=48)
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
+        plain = integrator.trace_persistent_mega(
+            sd, cp, w, h, jnp.uint32(4), 6, jnp.uint32(0), interpret=True
+        )
+        perm, bounds = mk.cluster_spheres(
+            np.asarray(sd.sph_center),
+            np.asarray(sd.sph_radius),
+            np.asarray(sd.sph_active),
+        )
+        clustered = integrator.trace_persistent_mega(
+            sd, cp, w, h, jnp.uint32(4), 6, jnp.uint32(0), interpret=True,
+            cluster_perm=jnp.asarray(perm), cluster_bounds=jnp.asarray(bounds),
+        )
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(clustered))
+
     def test_megakernel_unsupported_scenes_fall_back(self):
         # Image-textured scene -> staged path must be picked by auto.
         sc = demo.earth(width=32)

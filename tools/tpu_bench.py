@@ -62,14 +62,16 @@ def micro():
     timeloop("transcendental_sincos", lambda x: jnp.sin(x) + jnp.cos(x) * 1e-9 + x, x0)
 
 
-def quick(width=400, spps=(32, 100)):
+def quick(width=400, spps=(32, 100), schedules=("mega", "pixel", "queue")):
     from crucible_tpu.models import demo, render
 
     sc = demo.book1_end_scene(width=width)
     sd = sc.build()
     cp = sc.scene_cam.params()
     w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
-    for schedule in ("pixel", "queue"):
+    for schedule in schedules:
+        # spp is traced: this warmup compiles the ONE executable that the
+        # timed runs reuse (timings below are pure execution).
         render.render_image_persistent(sd, cp, w, h, 2, 50, 0, schedule=schedule)
         for spp in spps:
             t0 = time.time()
