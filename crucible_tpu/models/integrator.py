@@ -511,13 +511,9 @@ def trace_persistent(
 def megakernel_supported(sd: SceneData, cp) -> bool:
     """Static predicate for the all-in-VMEM persistent megakernel
     (ops/pallas/megakernel.py): sphere-only scene, solid/checker textures,
-    default-gradient sky, static camera (animated cameras re-derive the
-    basis per ray — staged path only). Moving spheres are fine."""
-    return (
-        fused_supported(sd)
-        and sd.sky_kind == sky_mod.DEFAULT
-        and not cp.animated
-    )
+    default-gradient sky. Moving spheres and animated cameras (per-ray
+    basis re-derivation in-kernel) are both supported."""
+    return fused_supported(sd) and sd.sky_kind == sky_mod.DEFAULT
 
 
 def trace_persistent_mega(
@@ -594,8 +590,19 @@ def trace_persistent_mega(
     )
     defr = cp.focus_dist * jnp.tan(cp.defocus_angle_rad / 2.0)
     defr = jnp.where(cp.defocus_angle_rad > 0.0, defr, 0.0)
+    zero3 = jnp.zeros((3,), jnp.float32)
+    lf_d = cp.look_from_d if cp.look_from_d is not None else zero3
+    la_d = cp.look_at_d if cp.look_at_d is not None else zero3
     cam = jnp.concatenate(
-        [pixel00, du, dv, lf, u_b, v_b, defr[None], jnp.zeros((13,), jnp.float32)]
+        [
+            pixel00, du, dv, lf, u_b, v_b, defr[None],
+            # Animated-camera slots 19-37 (megakernel.py layout).
+            la, lf_d, la_d, cp.vup,
+            viewport_h[None], viewport_w[None], cp.focus_dist[None],
+            jnp.asarray([width, height], jnp.float32),
+            jnp.asarray([0.5 * (width - 1), 0.5 * (height - 1)], jnp.float32),
+            jnp.zeros((10,), jnp.float32),
+        ]
     ).astype(jnp.float32).reshape(1, mk.CAM_SIZE)
 
     smem = jnp.stack(
@@ -615,7 +622,8 @@ def trace_persistent_mega(
         table = jnp.take(table, cluster_perm, axis=0)
     acc = mk.run_megakernel(
         smem, pix, sample0, cam, table, cluster_bounds,
-        animated=bool(sd.animated), interpret=interpret,
+        animated=bool(sd.animated), cam_animated=bool(cp.animated),
+        interpret=interpret,
     )
     if lane_of is not None:
         return jnp.take(acc.T, lane_of, axis=0)

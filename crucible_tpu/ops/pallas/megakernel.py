@@ -33,10 +33,11 @@ pcg4d(pixel, sample, stream, seed) hash (utils/rng.py), so images match
 the staged paths up to f32 association (same sample set, same decisions).
 
 Scope (static predicate `megakernel_supported`): sphere-only scenes,
-solid / checker-of-solid textures, default-gradient sky, static camera
-(the per-ray basis re-derivation for animated cameras stays in the staged
-path). Linearly-moving spheres ARE supported (motion columns of the
-attribute table, ops/pallas/sphere_shade.py layout).
+solid / checker-of-solid textures, default-gradient sky. Linearly-moving
+spheres are supported (motion columns of the attribute table,
+ops/pallas/sphere_shade.py layout), and so are animated cameras — the
+camera basis is re-derived per ray at its shutter fraction in-kernel,
+mirroring generate_rays' animated branch.
 
 Reference behaviors mirrored: quadratic + nearest-root selection
 (src/objects/sphere.rs:61-105), t_min=1e-3 shadow acne epsilon
@@ -60,10 +61,16 @@ BIG = np.float32(3.0e38)
 TILE = 512
 C_IN = 32  # sphere attribute table columns (sphere_shade.py layout)
 
-# Camera constant vector layout (1, 32) f32:
+# Camera constant vector layout (1, 48) f32.
+# Static-camera slots (precomputed basis — models/camera.py::generate_rays):
 #  0-2 pixel00, 3-5 du, 6-8 dv, 9-11 look_from, 12-14 basis u, 15-17 basis v,
-#  18 defocus_radius, 19-31 pad.
-CAM_SIZE = 32
+#  18 defocus_radius.
+# Animated-camera extras (basis re-derived per ray at shutter fraction w):
+#  19-21 look_at, 22-24 look_from_d, 25-27 look_at_d, 28-30 vup,
+#  31 viewport_h, 32 viewport_w, 33 focus_dist,
+#  34 width, 35 height (as f32), 36 0.5*(width-1), 37 0.5*(height-1),
+#  38-47 pad.
+CAM_SIZE = 48
 
 # PCG4D in INT32: Mosaic supports no u32<->s32/f32 converts in-kernel, but
 # two's-complement mul/add/xor are bit-identical to uint32, and the one
@@ -193,6 +200,7 @@ def _kernel(
     animated: bool,
     t_min,
     n_chunks: int = 0,
+    cam_animated: bool = False,
 ):
     if n_chunks:
         cbounds_ref, acc_ref = rest
@@ -233,18 +241,70 @@ def _kernel(
         # --- lane-local regeneration (integrator.trace_persistent) --------
         issue = (~alive) & (sample_i < spp)
         ux, uy, ud1, ud2 = uniform4(sample_i, STREAM_PIXEL_JITTER)
-        px = cam(0) + (fi + ux - 0.5) * cam(3) + (fj + uy - 0.5) * cam(6)
-        py = cam(1) + (fi + ux - 0.5) * cam(4) + (fj + uy - 0.5) * cam(7)
-        pz = cam(2) + (fi + ux - 0.5) * cam(5) + (fj + uy - 0.5) * cam(8)
+        if cam_animated:
+            # Re-derive the camera basis PER RAY at its shutter fraction
+            # (models/camera.py::generate_rays animated branch). Same TIME
+            # stream as the intersection's motion sample, so an issued ray's
+            # camera and scene share one shutter instant.
+            w_cam, _, _, _ = uniform4(
+                sample_i, jnp.broadcast_to(STREAM_TIME, pix.shape)
+            )
+            lfx = cam(9) + w_cam * cam(22)
+            lfy = cam(10) + w_cam * cam(23)
+            lfz = cam(11) + w_cam * cam(24)
+            lax_ = cam(19) + w_cam * cam(25)
+            lay_ = cam(20) + w_cam * cam(26)
+            laz_ = cam(21) + w_cam * cam(27)
+            # True divisions, matching utils/vec.py::unit and generate_rays
+            # op-for-op so rays are bit-identical to the staged path.
+            wx0, wy0, wz0 = lfx - lax_, lfy - lay_, lfz - laz_
+            wden = jnp.maximum(
+                jnp.sqrt(wx0 * wx0 + wy0 * wy0 + wz0 * wz0), 1e-12
+            )
+            wbx, wby, wbz = wx0 / wden, wy0 / wden, wz0 / wden
+            ux0 = cam(29) * wbz - cam(30) * wby  # cross(vup, w)
+            uy0 = cam(30) * wbx - cam(28) * wbz
+            uz0 = cam(28) * wby - cam(29) * wbx
+            uden = jnp.maximum(
+                jnp.sqrt(ux0 * ux0 + uy0 * uy0 + uz0 * uz0), 1e-12
+            )
+            ubx, uby, ubz = ux0 / uden, uy0 / uden, uz0 / uden
+            vbx = wby * ubz - wbz * uby  # cross(w, u)
+            vby = wbz * ubx - wbx * ubz
+            vbz = wbx * uby - wby * ubx
+            dux = cam(32) * ubx / cam(34)  # viewport_w * u / width
+            duy = cam(32) * uby / cam(34)
+            duz = cam(32) * ubz / cam(34)
+            dvx = -cam(31) * vbx / cam(35)  # viewport_h * (-v) / height
+            dvy = -cam(31) * vby / cam(35)
+            dvz = -cam(31) * vbz / cam(35)
+            p00x = lfx - cam(33) * wbx - cam(36) * dux - cam(37) * dvx
+            p00y = lfy - cam(33) * wby - cam(36) * duy - cam(37) * dvy
+            p00z = lfz - cam(33) * wbz - cam(36) * duz - cam(37) * dvz
+        else:
+            lfx, lfy, lfz = cam(9), cam(10), cam(11)
+            ubx, uby, ubz = cam(12), cam(13), cam(14)
+            vbx, vby, vbz = cam(15), cam(16), cam(17)
+            dux, duy, duz = cam(3), cam(4), cam(5)
+            dvx, dvy, dvz = cam(6), cam(7), cam(8)
+            p00x, p00y, p00z = cam(0), cam(1), cam(2)
+        # (fi + (ux - 0.5)): association matches generate_rays bit-for-bit.
+        oxj = fi + (ux - 0.5)
+        oyj = fj + (uy - 0.5)
+        px = p00x + oxj * dux + oyj * dvx
+        py = p00y + oxj * duy + oyj * dvy
+        pz = p00z + oxj * duz + oyj * dvz
         # Defocus disk (radius 0 => exactly look_from, matching the staged
         # path's where(use_defocus) select).
-        dr = jnp.sqrt(ud1) * cam(18)
+        # ((sqrt(u1)*cos)*radius): association matches in_unit_disk + the
+        # staged (disk * radius) multiply order bit-for-bit.
         dphi = (2.0 * np.pi) * ud2
-        da = dr * jnp.cos(dphi)
-        db = dr * jnp.sin(dphi)
-        nox = cam(9) + da * cam(12) + db * cam(15)
-        noy = cam(10) + da * cam(13) + db * cam(16)
-        noz = cam(11) + da * cam(14) + db * cam(17)
+        dru = jnp.sqrt(ud1)
+        da = dru * jnp.cos(dphi) * cam(18)
+        db = dru * jnp.sin(dphi) * cam(18)
+        nox = lfx + da * ubx + db * vbx
+        noy = lfy + da * uby + db * vby
+        noz = lfz + da * ubz + db * vbz
         ox = jnp.where(issue, nox, ox)
         oy = jnp.where(issue, noy, oy)
         oz = jnp.where(issue, noz, oz)
@@ -401,8 +461,9 @@ def _kernel(
         nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
 
         # --- sky (default gradient) + emission ------------------------------
-        inv_dlen = jax.lax.rsqrt(jnp.maximum(a_q, 1e-40))
-        sky_a = 0.5 * (dy * inv_dlen + 1.0)
+        # True sqrt + divide: bit-matches utils/vec.py::unit(d, eps=1e-20).
+        dlen = jnp.maximum(jnp.sqrt(a_q), 1e-20)
+        sky_a = 0.5 * (dy / dlen + 1.0)
         one_m_a = 1.0 - sky_a
         skyr = one_m_a + sky_a * 0.5
         skyg = one_m_a + sky_a * 0.7
@@ -455,16 +516,16 @@ def _kernel(
         refx = dx - 2.0 * d_dot_n * nx
         refy = dy - 2.0 * d_dot_n * ny
         refz = dz - 2.0 * d_dot_n * nz
-        inv_rlen = jax.lax.rsqrt(
-            jnp.maximum(refx * refx + refy * refy + refz * refz, 1e-40)
+        rlen = jnp.maximum(
+            jnp.sqrt(refx * refx + refy * refy + refz * refz), 1e-20
         )
-        metx = refx * inv_rlen + fuzz * rx
-        mety = refy * inv_rlen + fuzz * ry
-        metz = refz * inv_rlen + fuzz * rz
+        metx = refx / rlen + fuzz * rx
+        mety = refy / rlen + fuzz * ry
+        metz = refz / rlen + fuzz * rz
         met_alive = metx * nx + mety * ny + metz * nz > 0.0
 
         # Dielectric: Snell + Schlick on the UNIT incoming direction.
-        udx, udy, udz = dx * inv_dlen, dy * inv_dlen, dz * inv_dlen
+        udx, udy, udz = dx / dlen, dy / dlen, dz / dlen
         ri = jnp.where(front, 1.0 / jnp.maximum(ior, 1e-8), ior)
         cos_t = jnp.minimum(-(udx * nx + udy * ny + udz * nz), 1.0)
         sin_t = jnp.sqrt(jnp.maximum(1.0e-12, 1.0 - cos_t * cos_t))
@@ -545,7 +606,7 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("animated", "t_min", "interpret")
+    jax.jit, static_argnames=("animated", "cam_animated", "t_min", "interpret")
 )
 def run_megakernel(
     smem,  # (8,) int32 [spp, seed, width, max_depth, 0...]
@@ -556,6 +617,7 @@ def run_megakernel(
     cbounds=None,  # (K, 8) f32 chunk AABBs (cluster_spheres) or None
     *,
     animated: bool,
+    cam_animated: bool = False,
     t_min=1.0e-3,
     interpret: bool = False,
 ):
@@ -576,7 +638,8 @@ def run_megakernel(
         ]
 
     kernel = functools.partial(
-        _kernel, animated=animated, t_min=np.float32(t_min), n_chunks=n_chunks
+        _kernel, animated=animated, t_min=np.float32(t_min),
+        n_chunks=n_chunks, cam_animated=cam_animated,
     )
     grid = (r // TILE,)
     (acc,) = pl.pallas_call(
