@@ -530,48 +530,61 @@ def trace_persistent_mega(
     cluster_perm=None,  # (N_pad,) int32 from megakernel.cluster_spheres
     cluster_bounds=None,  # (K, 8) f32 chunk AABBs (enables chunk culling)
     swizzle: bool = True,
+    row0=0,  # first image row this call renders (traced ok) — sharding
+    band_height: int | None = None,  # rows this call renders (default: all)
 ):
     """Whole persistent render in ONE pallas kernel (see megakernel.py).
 
     Semantics = trace_persistent with groups=1 (lane p walks pixel p's spp
     samples; identical pcg4d streams), with per-TILE loop exit instead of a
     global wavefront barrier. Returns the per-pixel radiance SUM
-    (num_pixels, 3). ``spp``, ``max_depth`` and ``seed`` are traced — one
-    executable per (scene shape, image size).
+    (band_height*width, 3). ``spp``, ``max_depth`` and ``seed`` are traced —
+    one executable per (scene shape, image size).
 
     ``swizzle`` maps each 512-lane tile to a 32x16 PIXEL BLOCK instead of
     1.3 scanlines: compact tile frustums mean coherent path lengths (earlier
     per-tile exit) and fewer sphere chunks per tile under cluster culling.
     Per-pixel output is bit-identical either way (lane assignment only).
+
+    ``row0``/``band_height`` render a horizontal band of the FULL image
+    (width/height stay the global dims for camera math and RNG pixel ids),
+    which is how the multi-chip driver shards pixels: each device renders
+    rows [row0, row0+band_height) and the sharded image is bit-identical
+    to the single-chip render (parallel/render.py).
     """
     from crucible_tpu.ops.pallas import megakernel as mk
     from crucible_tpu.utils import vec
 
-    num_pixels = width * height
+    if band_height is None:
+        band_height = height
+    row0 = jnp.asarray(row0, jnp.int32)
+    band_pixels = width * band_height
     if swizzle:
         bw, bh = 32, mk.TILE // 32
         gx = (width + bw - 1) // bw
-        gy = (height + bh - 1) // bh
+        gy = (band_height + bh - 1) // bh
         r = gx * gy * mk.TILE
         lane = jnp.arange(r, dtype=jnp.int32)
         tile, q = lane // mk.TILE, lane % mk.TILE
         px = (tile % gx) * bw + q % bw
-        py = (tile // gx) * bh + q // bw
-        valid = (px < width) & (py < height)
+        py = (tile // gx) * bh + q // bw + row0  # global image row
+        valid = (px < width) & (py < row0 + band_height) & (py < height)
         pix = (
             jnp.minimum(py, height - 1) * width + jnp.minimum(px, width - 1)
         ).reshape(1, r)
         sample0 = jnp.where(valid, 0, jnp.int32(2**30)).reshape(1, r)
-        p = jnp.arange(num_pixels, dtype=jnp.int32)
-        ppx, ppy = p % width, p // width
+        p = jnp.arange(band_pixels, dtype=jnp.int32)
+        ppx, ppy = p % width, p // width  # band-local row
         lane_of = (
             ((ppy // bh) * gx + ppx // bw) * mk.TILE + (ppy % bh) * bw + ppx % bw
         )
     else:
-        r = ((num_pixels + mk.TILE - 1) // mk.TILE) * mk.TILE
+        r = ((band_pixels + mk.TILE - 1) // mk.TILE) * mk.TILE
         lane = jnp.arange(r, dtype=jnp.int32)
-        pix = jnp.minimum(lane, num_pixels - 1).reshape(1, r)
-        sample0 = jnp.where(lane >= num_pixels, jnp.int32(2**30), 0).reshape(1, r)
+        gpix = lane + row0 * width  # global flat pixel id
+        valid = (lane < band_pixels) & (gpix < width * height)
+        pix = jnp.minimum(gpix, width * height - 1).reshape(1, r)
+        sample0 = jnp.where(valid, 0, jnp.int32(2**30)).reshape(1, r)
         lane_of = None
 
     # Camera constants — the static-camera specialization of

@@ -47,6 +47,62 @@ def _render_sharded(
     return rad.reshape(spp, p, 3).mean(axis=0)
 
 
+def render_image_sharded_mega(
+    scene: Scene,
+    mesh=None,
+    samples: int | None = None,
+    max_depth: int | None = None,
+    seed: int | None = None,
+) -> np.ndarray:
+    """Multi-chip megakernel render: horizontal pixel BANDS shard over all
+    mesh devices via shard_map; each device runs the persistent megakernel
+    (ops/pallas/megakernel.py) on its band with GLOBAL pixel ids, so the
+    sharded image is bit-identical to the single-chip megakernel render.
+    Scene/camera replicate; the framebuffer gathers over ICI on the way out.
+
+    Requires ``integrator.megakernel_supported(sd, cp)``; falls back to
+    :func:`render_image_sharded` otherwise.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if mesh is None:
+        mesh = mesh_mod.make_mesh()
+    sd = scene.build()
+    cam = scene.scene_cam
+    cp = cam.params()
+    if not integrator.megakernel_supported(sd, cp):
+        return render_image_sharded(scene, mesh, samples, max_depth, seed)
+    w, h = cam.image_width, cam.image_height
+    spp = samples if samples is not None else cam.samples
+    depth = max_depth if max_depth is not None else cam.max_depth
+    seed_v = jnp.uint32(seed if seed is not None else scene.seed)
+
+    ndev = mesh.devices.size
+    band_h = (h + ndev - 1) // ndev
+    row0s = jnp.arange(ndev, dtype=jnp.int32) * band_h
+    interpret = jax.default_backend() == "cpu"
+
+    def shard_fn(sd_, cp_, row0_, spp_, seed_):
+        fb = integrator.trace_persistent_mega(
+            sd_, cp_, w, h, spp_, depth, seed_,
+            interpret=interpret, row0=row0_[0], band_height=band_h,
+        )
+        return fb
+
+    axes = (mesh_mod.DP_AXIS, mesh_mod.SP_AXIS)
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axes), P(), P()),
+        out_specs=P(axes),
+        check_rep=False,
+    )
+    fb = jax.jit(fn)(sd, cp, row0s, jnp.uint32(spp), seed_v)
+    img = np.asarray(fb)[: w * h].reshape(h, w, 3) / np.float32(spp)
+    return img
+
+
 def render_image_sharded(
     scene: Scene,
     mesh=None,

@@ -103,3 +103,14 @@ class TestShardedDriver:
         single = srender.render_image(sc, mode="tiled")
         sharded = render_image_sharded(sc)
         np.testing.assert_array_equal(single, sharded)
+
+    def test_render_image_sharded_mega_bit_identical(self):
+        # Horizontal-band megakernel sharding with global pixel ids must be
+        # bit-identical to the single-chip megakernel render.
+        from crucible_tpu.models import render as srender
+        from crucible_tpu.parallel.render import render_image_sharded_mega
+
+        sc = demo.smoke_scene(width=64)
+        single = srender.render_image(sc, samples=4, max_depth=6, mode="persistent")
+        sharded = render_image_sharded_mega(sc, samples=4, max_depth=6)
+        np.testing.assert_array_equal(single, sharded)
