@@ -510,10 +510,65 @@ def trace_persistent(
 
 def megakernel_supported(sd: SceneData, cp) -> bool:
     """Static predicate for the all-in-VMEM persistent megakernel
-    (ops/pallas/megakernel.py): sphere-only scene, solid/checker textures,
-    default-gradient sky. Moving spheres and animated cameras (per-ray
-    basis re-derivation in-kernel) are both supported."""
-    return fused_supported(sd) and sd.sky_kind == sky_mod.DEFAULT
+    (ops/pallas/megakernel.py): solid/checker textures, default-gradient
+    sky. Moving spheres and animated cameras (per-ray basis re-derivation
+    in-kernel) are supported; triangle meshes are supported when they carry
+    a BVH and are static (the in-kernel traversal reads static vertex
+    data), else the staged path handles them."""
+    tris_ok = sd.num_tris == 0 or (sd.use_bvh and not sd.animated)
+    return (
+        len(sd.tex.images) == 0 and sd.sky_kind == sky_mod.DEFAULT and tris_ok
+    )
+
+
+def make_tri_tables(sd: SceneData):
+    """Assemble the megakernel triangle inputs from the scene arrays:
+    (tri_nodes (K,16), tris (M,16), mats (NM,24)) — layouts in
+    megakernel.run_megakernel's docstring. Tiny per-render gathers."""
+    e1 = sd.tri_v1 - sd.tri_v0
+    e2 = sd.tri_v2 - sd.tri_v0
+    n = intersect.triangle_normal(sd.tri_v0, sd.tri_v1, sd.tri_v2)
+    m = sd.tri_v0.shape[0]
+    tris = jnp.concatenate(
+        [
+            sd.tri_v0, e1, e2, n,
+            sd.tri_mat.astype(jnp.float32)[:, None],
+            jnp.zeros((m, 3), jnp.float32),
+        ],
+        axis=1,
+    )
+    k = sd.bvh_min.shape[0]
+    tri_nodes = jnp.concatenate(
+        [
+            sd.bvh_min, sd.bvh_max,
+            sd.bvh_first.astype(jnp.float32)[:, None],
+            sd.bvh_count.astype(jnp.float32)[:, None],
+            sd.bvh_miss.astype(jnp.float32)[:, None],
+            jnp.zeros((k, 7), jnp.float32),
+        ],
+        axis=1,
+    )
+    nm = sd.mat_type.shape[0]
+    tid = sd.mat_tex
+    even_id = jnp.take(sd.tex.even, tid, axis=0)
+    odd_id = jnp.take(sd.tex.odd, tid, axis=0)
+    mats = jnp.concatenate(
+        [
+            sd.mat_type.astype(jnp.float32)[:, None],
+            sd.mat_fuzz[:, None],
+            sd.mat_ior[:, None],
+            sd.mat_prob[:, None],
+            sd.mat_emission,
+            jnp.take(sd.tex.kind, tid, axis=0).astype(jnp.float32)[:, None],
+            jnp.take(sd.tex.color, tid, axis=0),
+            jnp.take(sd.tex.inv_scale, tid, axis=0)[:, None],
+            jnp.take(sd.tex.color, even_id, axis=0),
+            jnp.take(sd.tex.color, odd_id, axis=0),
+            jnp.zeros((nm, 6), jnp.float32),
+        ],
+        axis=1,
+    )
+    return tri_nodes, tris, mats
 
 
 def trace_persistent_mega(
@@ -633,9 +688,15 @@ def trace_persistent_mega(
         if n_pad > table.shape[0]:
             table = jnp.pad(table, ((0, n_pad - table.shape[0]), (0, 0)))
         table = jnp.take(table, cluster_perm, axis=0)
+    if sd.num_tris > 0:
+        tri_nodes, tris, mats = make_tri_tables(sd)
+    else:
+        tri_nodes = tris = mats = None
     acc = mk.run_megakernel(
         smem, pix, sample0, cam, table, cluster_bounds,
+        tri_nodes, tris, mats,
         animated=bool(sd.animated), cam_animated=bool(cp.animated),
+        tri_leaf=sd.bvh_leaf_size,
         interpret=interpret,
     )
     if lane_of is not None:

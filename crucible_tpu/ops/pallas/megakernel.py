@@ -196,16 +196,22 @@ def _kernel(
     sample0_ref,  # (1, TILE) int32 initial sample index (>= spp for padding)
     cam_ref,  # (1, CAM_SIZE) f32 camera constants
     table_ref,  # (N, C_IN) f32 sphere attribute table
-    *rest,  # [cbounds_ref (K, 8) if n_chunks] + [acc_ref out (3, TILE)]
+    *rest,  # [cbounds (K,8) if n_chunks] + [tnodes, tris, mats if
+    #          n_tri_nodes] + [acc_ref out (3, TILE)]
     animated: bool,
     t_min,
     n_chunks: int = 0,
     cam_animated: bool = False,
+    n_tri_nodes: int = 0,
+    tri_leaf: int = 4,
+    n_mats: int = 0,
 ):
-    if n_chunks:
-        cbounds_ref, acc_ref = rest
-    else:
-        (acc_ref,) = rest
+    rest = list(rest)
+    cbounds_ref = rest.pop(0) if n_chunks else None
+    if n_tri_nodes:
+        tnodes_ref, tris_ref, mats_ref = rest[0], rest[1], rest[2]
+        rest = rest[3:]
+    (acc_ref,) = rest
     spp = smem_ref[0]
     seed = smem_ref[1]
     width = smem_ref[2]
@@ -438,6 +444,117 @@ def _kernel(
                 vals = jax.lax.cond(predf, fetch_chunk, lambda v: v, vals)
             attrs = dict(zip(attr_cols, vals))
 
+        # --- triangle BVH stage (teapot-class meshes) -----------------------
+        # Tile-coherent traversal: ONE scalar DFS cursor per tile walks the
+        # flat skip-link BVH (ops/bvh.py); all 512 lanes slab-test the same
+        # node and the subtree is skipped when NO live ray's interval hits
+        # it (scalar any-reduce). Leaves test <= tri_leaf triangles against
+        # the whole tile with scalar per-triangle data — Moller-Trumbore
+        # exactly as ops/traverse.py::_mt_single. The traversal starts from
+        # the sphere-stage t, so only closer triangle hits win (strict <,
+        # matching integrator.intersect_scene's is_tri rule).
+        if n_tri_nodes:
+            n_tris_total = tris_ref.shape[0]
+
+            def tsafe_inv(dc):
+                return 1.0 / jnp.where(
+                    jnp.abs(dc) < 1e-30, jnp.where(dc >= 0, 1e-30, -1e-30), dc
+                )
+
+            ivx, ivy, ivz = tsafe_inv(dx), tsafe_inv(dy), tsafe_inv(dz)
+
+            def trav_cond(s):
+                return s[0] < n_tri_nodes
+
+            def trav_body(s):
+                c, tb, tnx, tny, tnz, tmid = s
+                nrow = tnodes_ref[pl.ds(c, 1), :]  # (1, 16)
+                t0x = (nrow[0, 0] - ox) * ivx
+                t1x = (nrow[0, 3] - ox) * ivx
+                t0y = (nrow[0, 1] - oy) * ivy
+                t1y = (nrow[0, 4] - oy) * ivy
+                t0z = (nrow[0, 2] - oz) * ivz
+                t1z = (nrow[0, 5] - oz) * ivz
+                enter = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), t_min),
+                )
+                exitv = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                    jnp.minimum(jnp.maximum(t0z, t1z), tb),
+                )
+                bh = (enter <= exitv) & alive
+                anyhit = jnp.max(jnp.where(bh, 1, 0)) > 0
+                first = nrow[0, 6].astype(jnp.int32)
+                count = nrow[0, 7].astype(jnp.int32)
+                miss = nrow[0, 8].astype(jnp.int32)
+
+                def leaf_fn(carry):
+                    tb2, nx2, ny2, nz2, md2 = carry
+                    for li in range(tri_leaf):
+                        pid = jnp.minimum(first + li, n_tris_total - 1)
+                        tr = tris_ref[pl.ds(pid, 1), :]  # (1, 16)
+                        e1x, e1y, e1z = tr[0, 3], tr[0, 4], tr[0, 5]
+                        e2x, e2y, e2z = tr[0, 6], tr[0, 7], tr[0, 8]
+                        pvx = dy * e2z - dz * e2y
+                        pvy = dz * e2x - dx * e2z
+                        pvz = dx * e2y - dy * e2x
+                        det = e1x * pvx + e1y * pvy + e1z * pvz
+                        det_ok = jnp.abs(det) > 1e-8  # ops/intersect.MT_EPS
+                        invd = jnp.where(
+                            det_ok, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0
+                        )
+                        tvx = ox - tr[0, 0]
+                        tvy = oy - tr[0, 1]
+                        tvz = oz - tr[0, 2]
+                        uu = (tvx * pvx + tvy * pvy + tvz * pvz) * invd
+                        qvx = tvy * e1z - tvz * e1y
+                        qvy = tvz * e1x - tvx * e1z
+                        qvz = tvx * e1y - tvy * e1x
+                        vv = (dx * qvx + dy * qvy + dz * qvz) * invd
+                        th = (e2x * qvx + e2y * qvy + e2z * qvz) * invd
+                        ok = (
+                            det_ok
+                            & (uu >= 0.0)
+                            & (vv >= 0.0)
+                            & (uu + vv <= 1.0)
+                            & (th > t_min)
+                            & (th < tb2)
+                            & bh
+                            & (li < count)
+                        )
+                        tb2 = jnp.where(ok, th, tb2)
+                        nx2 = jnp.where(ok, tr[0, 9], nx2)
+                        ny2 = jnp.where(ok, tr[0, 10], ny2)
+                        nz2 = jnp.where(ok, tr[0, 11], nz2)
+                        md2 = jnp.where(ok, tr[0, 12], md2)
+                    return tb2, nx2, ny2, nz2, md2
+
+                tb, tnx, tny, tnz, tmid = jax.lax.cond(
+                    anyhit & (count > 0), leaf_fn, lambda cst: cst,
+                    (tb, tnx, tny, tnz, tmid),
+                )
+                c_next = jnp.where(anyhit & (count == 0), c + 1, miss)
+                return c_next, tb, tnx, tny, tnz, tmid
+
+            trav0 = (jnp.int32(0), t, zeros, zeros, zeros, zeros)
+            _, tb, tnx, tny, tnz, tmid = jax.lax.while_loop(
+                trav_cond, trav_body, trav0
+            )
+            is_tri = tb < t  # strict: intersect_scene's tie rule
+            t = tb
+            hit = t[0:1, :] < BIG
+            # Winner shading attrs come from the per-MATERIAL table (meshes
+            # share one material row each, ids are few) via a tiny one-hot.
+            mrows = jax.lax.broadcasted_iota(jnp.int32, (n_mats, TILE), 0)
+            mwin = (mrows == tmid.astype(jnp.int32)) & is_tri
+            for c in range(6, 24):
+                mval = jnp.sum(
+                    jnp.where(mwin, mats_ref[:, c - 6 : c - 5], 0.0),
+                    axis=0, keepdims=True,
+                )
+                attrs[c] = jnp.where(is_tri, mval, attrs[c])
+
         def fetch(c):
             return attrs[c]
 
@@ -456,6 +573,10 @@ def _kernel(
         nx = (hx - wcx) * inv_r
         ny = (hy - wcy) * inv_r
         nz = (hz - wcz) * inv_r
+        if n_tri_nodes:
+            nx = jnp.where(is_tri, tnx, nx)
+            ny = jnp.where(is_tri, tny, ny)
+            nz = jnp.where(is_tri, tnz, nz)
         front = dx * nx + dy * ny + dz * nz < 0.0
         sgn = jnp.where(front, 1.0, -1.0)
         nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
@@ -606,7 +727,8 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("animated", "cam_animated", "t_min", "interpret")
+    jax.jit,
+    static_argnames=("animated", "cam_animated", "tri_leaf", "t_min", "interpret"),
 )
 def run_megakernel(
     smem,  # (8,) int32 [spp, seed, width, max_depth, 0...]
@@ -615,9 +737,13 @@ def run_megakernel(
     cam,  # (1, CAM_SIZE) f32
     table,  # (N, C_IN) f32 (cluster-permuted when cbounds is given)
     cbounds=None,  # (K, 8) f32 chunk AABBs (cluster_spheres) or None
+    tri_nodes=None,  # (K, 16) f32 flat BVH [lo3, hi3, first, count, miss, pad]
+    tris=None,  # (M, 16) f32 [v0(3), e1(3), e2(3), unit normal(3), mat_id, pad]
+    mats=None,  # (NM, 24) f32 per-material shading cols (sphere cols 6..23)
     *,
     animated: bool,
     cam_animated: bool = False,
+    tri_leaf: int = 4,
     t_min=1.0e-3,
     interpret: bool = False,
 ):
@@ -627,19 +753,37 @@ def run_megakernel(
     assert r % TILE == 0, f"R={r} not a multiple of {TILE}"
     assert table.shape[1] == C_IN and cam.shape == (1, CAM_SIZE)
     n_chunks = 0
+    n_tri_nodes = 0
+    n_mats = 0
     extra_in = []
     extra_specs = []
     if cbounds is not None:
         n_chunks = cbounds.shape[0]
         assert n_chunks * CLUSTER == n, (n_chunks, n)
-        extra_in = [cbounds]
-        extra_specs = [
+        extra_in.append(cbounds)
+        extra_specs.append(
             pl.BlockSpec((n_chunks, 8), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+    if tri_nodes is not None:
+        n_tri_nodes = tri_nodes.shape[0]
+        n_mats = mats.shape[0]
+        assert tri_nodes.shape[1] == 16 and tris.shape[1] == 16
+        assert mats.shape[1] == 24
+        extra_in += [tri_nodes, tris, mats]
+        extra_specs += [
+            pl.BlockSpec(
+                (n_tri_nodes, 16), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tris.shape[0], 16), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((n_mats, 24), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ]
 
     kernel = functools.partial(
         _kernel, animated=animated, t_min=np.float32(t_min),
         n_chunks=n_chunks, cam_animated=cam_animated,
+        n_tri_nodes=n_tri_nodes, tri_leaf=tri_leaf, n_mats=n_mats,
     )
     grid = (r // TILE,)
     (acc,) = pl.pallas_call(

@@ -200,6 +200,49 @@ class TestRendererModes:
         )
         np.testing.assert_array_equal(np.asarray(plain), np.asarray(clustered))
 
+    def test_megakernel_triangle_bvh_matches_staged(self):
+        # 80-triangle fan (> BVH_MIN_TRIS) + ground sphere: the in-kernel
+        # tile-coherent BVH traversal must match the staged XLA traversal.
+        # Triangle-edge samples can land differently at the ulp level, so
+        # the assertion is statistical (see CLAUDE.md).
+        import math
+
+        sc = Scene.new_image(1.0, 48)
+        cam = sc.scene_cam
+        cam.look_from((0.0, 1.5, 4.0))
+        cam.look_at((0.0, 0.3, 0.0))
+        cam.set_vfov(45.0)
+        sc.add_element(
+            Sphere((0.0, -100.0, 0.0), 100.0, Lambertian.from_color((0.6, 0.6, 0.2))),
+            "ground",
+        )
+        for i in range(80):
+            a0 = 2 * math.pi * i / 80
+            a1 = 2 * math.pi * (i + 1) / 80
+            z0 = 0.3 + 0.1 * math.sin(5 * a0)
+            sc.add_element(
+                Triangle(
+                    (0.8 * math.cos(a0), z0, 0.8 * math.sin(a0)),
+                    (1.2 * math.cos(a1), 0.35, 1.2 * math.sin(a1)),
+                    (0.0, 0.5, 0.0),
+                    Metal((0.8, 0.7, 0.6), 0.2),
+                ),
+                f"tri{i}",
+            )
+        sd = sc.build()
+        cp = cam.params()
+        assert sd.use_bvh and integrator.megakernel_supported(sd, cp)
+        w, h = cam.image_width, cam.image_height
+        ref = integrator.trace_persistent(
+            sd, cp, w, h, 4, 5, jnp.uint32(0), lanes=512, use_pallas=False
+        )
+        mega = integrator.trace_persistent_mega(
+            sd, cp, w, h, jnp.uint32(4), 5, jnp.uint32(0), interpret=True
+        )
+        d = np.abs(np.asarray(ref) - np.asarray(mega))
+        assert (d > 1e-3).mean() < 0.005, d.max()
+        assert d.mean() < 1e-3
+
     def test_megakernel_unsupported_scenes_fall_back(self):
         # Image-textured scene -> staged path must be picked by auto.
         sc = demo.earth(width=32)
