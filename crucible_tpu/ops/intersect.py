@@ -18,6 +18,8 @@ with the same epsilon (1e-8) for parallel rays.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,7 +30,15 @@ MT_EPS = 1e-8
 
 
 def hit_spheres(o, d, centers, radii, active, t_min, t_max):
-    """Closest sphere hit per ray.
+    """Closest sphere hit per ray — differentiable with an O(R) backward.
+
+    Forward is :func:`_hit_spheres_impl`; the custom VJP differentiates the
+    hit distance as an IMPLICIT function of the winning sphere's quadratic
+    f(t) = |o + t d - c|^2 - r^2 = 0, so the backward pass touches only the
+    R winners (dt/dtheta = -(df/dtheta)/(df/dt)) instead of rematerializing
+    the (R, N) candidate matrix — mathematically identical to autodiff
+    through the root formula (argmin winners are detached either way), and
+    the enabler for large fwd+bwd ray batches.
 
     Args:
       o, d: ray origins/directions, (R, 3). d need not be normalized
@@ -46,6 +56,92 @@ def hit_spheres(o, d, centers, radii, active, t_min, t_max):
       idx: (R,) int32 index of the winning sphere (0 where no hit)
       hit: (R,) bool
     """
+    import math
+
+    # The primal may ride the fused Pallas kernel (ops/pallas/sphere_hit.py)
+    # when shapes align and bounds are the standard (t_min, inf) — forward
+    # AND the remat recompute inside jax.checkpoint'd bounce scans then run
+    # at kernel speed, while the analytic winner-only backward needs no
+    # kernel VJP at all.
+    use_pl = (
+        centers.ndim == 2
+        and isinstance(t_min, (int, float))
+        and isinstance(t_max, (int, float))
+        and math.isinf(t_max)
+        and o.shape[0] % 512 == 0
+        and centers.shape[0] % 8 == 0
+        and jax.default_backend() != "cpu"
+    )
+    return _closest_hit(
+        o, d, centers, radii,
+        jnp.asarray(active).astype(jnp.float32),
+        jnp.asarray(t_min, jnp.float32),
+        jnp.asarray(t_max, jnp.float32),
+        float(t_min) if use_pl else 0.0,
+        use_pl,
+    )
+
+
+def _closest_hit_primal(o, d, centers, radii, active_f, t_min, t_max, t_min_s, use_pl):
+    if use_pl:
+        from crucible_tpu.ops.pallas.sphere_hit import hit_spheres_pallas
+
+        csr = jnp.sum(centers * centers, -1) - radii * radii
+        return hit_spheres_pallas(o, d, centers, csr, active_f, t_min=t_min_s)
+    return _hit_spheres_impl(o, d, centers, radii, active_f > 0.0, t_min, t_max)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _closest_hit(o, d, centers, radii, active_f, t_min, t_max, t_min_s, use_pl):
+    return _closest_hit_primal(
+        o, d, centers, radii, active_f, t_min, t_max, t_min_s, use_pl
+    )
+
+
+def _closest_hit_fwd(o, d, centers, radii, active_f, t_min, t_max, t_min_s, use_pl):
+    out = _closest_hit_primal(
+        o, d, centers, radii, active_f, t_min, t_max, t_min_s, use_pl
+    )
+    t, idx, hit = out
+    return out, (o, d, centers, radii, active_f, t, idx, hit)
+
+
+def _closest_hit_bwd(t_min_s, use_pl, res, cts):
+    o, d, centers, radii, active_f, t, idx, hit = res
+    t_bar = cts[0]  # cotangents of idx/hit are symbolic zeros
+    if centers.ndim == 2:
+        c_w = jnp.take(centers, idx, axis=0)  # (R, 3)
+        r_w = jnp.take(radii, idx, axis=0)
+    else:
+        c_w = jnp.take_along_axis(centers, idx[:, None, None], axis=1)[:, 0]
+        r_w = jnp.take_along_axis(radii, idx[:, None], axis=1)[:, 0]
+    # Miss lanes carry t = BIG; 3e38 * |d| overflows to inf and 0 * inf
+    # would NaN the masked-out products below — mask t first.
+    t_safe = jnp.where(hit, t, 1.0)
+    nvec = o + t_safe[:, None] * d - c_w  # hit point minus center
+    den = jnp.sum(d * nvec, axis=-1)  # = (df/dt)/2 at the root
+    # Guard tangent hits (den ~ 0, where the true derivative diverges).
+    safe_den = jnp.where(jnp.abs(den) > 1e-12, den, 1.0)
+    g = jnp.where(hit & (jnp.abs(den) > 1e-12), t_bar / safe_den, 0.0)
+    go = -g[:, None] * nvec  # dt/do = -nvec/den
+    gd = -(g * t_safe)[:, None] * nvec  # dt/dd = -t*nvec/den
+    gc_rows = jnp.where(hit[:, None], g[:, None] * nvec, 0.0)  # dt/dc = +nvec/den
+    gr_rows = jnp.where(hit, g * r_w, 0.0)  # dt/dr = r/den
+    if centers.ndim == 2:
+        gc = jnp.zeros_like(centers).at[idx].add(gc_rows)
+        gr = jnp.zeros_like(radii).at[idx].add(gr_rows)
+    else:
+        r_ar = jnp.arange(idx.shape[0])
+        gc = jnp.zeros_like(centers).at[r_ar, idx].add(gc_rows)
+        gr = jnp.zeros_like(radii).at[r_ar, idx].add(gr_rows)
+    zero = jnp.zeros((), jnp.float32)
+    return go, gd, gc, gr, jnp.zeros_like(active_f), zero, zero
+
+
+_closest_hit.defvjp(_closest_hit_fwd, _closest_hit_bwd)
+
+
+def _hit_spheres_impl(o, d, centers, radii, active, t_min, t_max):
     a = jnp.sum(d * d, axis=-1)[:, None]  # (R, 1)
     if centers.ndim == 2:
         # MXU path: static scene. f32 accumulation is mandatory — the TPU
