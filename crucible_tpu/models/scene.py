@@ -592,7 +592,7 @@ class Scene:
         )
 
     # --- lowering -----------------------------------------------------------
-    def build(self, t_open: float | None = None, t_close: float | None = None) -> SceneData:
+    def build(self, t_open: float | None = None, t_close: float | None = None, leaf_size: int = 32) -> SceneData:
         """Lower the element list to a SceneData pytree (cached per shutter
         window until the scene is mutated).
 
@@ -604,7 +604,7 @@ class Scene:
         animated = self.is_animated
         if animated and t_open is None:
             t_open, t_close = self.scene_cam.shutter_window()
-        key = (t_open, t_close) if animated else None
+        key = ((t_open, t_close) if animated else None, leaf_size)
         if self._cache is not None and self._cache_key == key:
             return self._cache
 
@@ -667,7 +667,7 @@ class Scene:
                 # stale-inner-node problem, SURVEY.md §2.2).
                 lo = np.minimum(va.min(axis=1), vb.min(axis=1))
                 hi = np.maximum(va.max(axis=1), vb.max(axis=1))
-                bvh = build_bvh(lo, hi)
+                bvh = build_bvh(lo, hi, leaf_size=leaf_size)
                 perm = bvh.perm
                 v0, v1, v2, t_mat = v0[perm], v1[perm], v2[perm], t_mat[perm]
                 v0b, v1b, v2b = v0b[perm], v1b[perm], v2b[perm]
@@ -742,6 +742,7 @@ class Scene:
             num_spheres=n,
             num_tris=m,
             use_bvh=use_bvh,
+            bvh_leaf_size=leaf_size,
             animated=animated,
         )
         self._cache = sd
