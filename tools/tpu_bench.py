@@ -89,13 +89,41 @@ def quick(width=400, spps=(32, 100), schedules=("mega", "pixel", "queue")):
             )
 
 
+def demos(width=400, spp=32, depth=50):
+    """One number per demo family (all through the auto schedule)."""
+    from crucible_tpu.models import demo, render
+
+    for name, mk, w_ in (
+        ("book1", demo.book1_end_scene, width),
+        ("teapot", demo.load_teapot, width),
+        ("earth", demo.earth, width),
+        ("garden", demo.garden_skybox, 1920),
+    ):
+        sc = mk(width=w_)
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
+        render.render_image_persistent(sd, cp, w, h, 2, depth, 0)
+        t0 = time.time()
+        img = render.render_image_persistent(sd, cp, w, h, spp, depth, 0)
+        dt = time.time() - t0
+        log(
+            bench=f"demo_{name}_{w_}w",
+            spp=spp,
+            seconds=round(dt, 2),
+            mrays_per_s=round(w * h * spp / dt / 1e6, 2),
+            mean=round(float(img.mean()), 4),
+        )
+
+
 def full():
     micro()
     quick(400)
     quick(1920, spps=(32,))
+    demos()
 
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "quick"
     print("devices:", jax.devices(), flush=True)
-    {"quick": quick, "full": full, "micro": micro}[mode]()
+    {"quick": quick, "full": full, "micro": micro, "demos": demos}[mode]()
