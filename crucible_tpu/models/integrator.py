@@ -701,7 +701,7 @@ def trace_persistent_mega(
     )
     if lane_of is not None:
         return jnp.take(acc.T, lane_of, axis=0)
-    return acc.T[:num_pixels]
+    return acc.T[:band_pixels]
 
 
 def trace_persistent_queue(

@@ -177,6 +177,23 @@ class TestRendererModes:
         assert (d > 1e-4).mean() < 0.005, d.max()
         assert d.mean() < 1e-3
 
+    def test_megakernel_swizzle_bit_exact(self):
+        # Lane assignment (scanline vs 32x16 pixel blocks) must not change
+        # any pixel: samples accumulate within one lane either way.
+        sc = demo.smoke_scene(width=64)
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
+        a = integrator.trace_persistent_mega(
+            sd, cp, w, h, jnp.uint32(4), 6, jnp.uint32(0), interpret=True,
+            swizzle=True,
+        )
+        b = integrator.trace_persistent_mega(
+            sd, cp, w, h, jnp.uint32(4), 6, jnp.uint32(0), interpret=True,
+            swizzle=False,
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_megakernel_cluster_culling_exact(self):
         # Chunk culling is a pure skip optimization: the clustered kernel
         # must be BIT-identical to the brute-force megakernel.
