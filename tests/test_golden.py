@@ -32,3 +32,31 @@ def test_golden(name):
     # Same platform + deterministic RNG: tolerance only for cross-platform
     # f32 contraction-order differences.
     np.testing.assert_allclose(np.asarray(img), want, atol=2e-5)
+
+
+@pytest.mark.parametrize("name", ["smoke", "book1"])
+def test_golden_megakernel(name):
+    """The megakernel path against the same goldens: same samples, same
+    decisions — only f32 association differs, so the tolerance covers ulp
+    noise but catches any RNG-stream or shading-semantics drift."""
+    import jax.numpy as jnp
+
+    from crucible_tpu.models import integrator
+
+    fn, kw, spp, depth = CONFIGS[name]
+    sc = fn(**kw)
+    sd = sc.build()
+    cp = sc.scene_cam.params()
+    w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
+    assert integrator.megakernel_supported(sd, cp)
+    acc = integrator.trace_persistent_mega(
+        sd, cp, w, h, jnp.uint32(spp), depth, jnp.uint32(0), interpret=True
+    )
+    img = np.asarray(acc).reshape(h, w, 3) / np.float32(spp)
+    want = np.load(GOLDEN)[name]
+    d = np.abs(img - want)
+    # Allow rare silhouette hit-flips — at 32px/2spp a handful of flipped
+    # samples is a visible fraction, so the bound is per-config loose but
+    # still catches any systematic RNG/shading drift.
+    assert (d > 1e-3).mean() < 0.03, d.max()
+    assert d.mean() < 3e-3
