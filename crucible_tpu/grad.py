@@ -70,31 +70,54 @@ def render_pixels_mean(
     spp: int,
     max_depth: int,
     seed,
+    method: str = "auto",
 ):
     """Per-pixel mean radiance (P, 3) for the given pixels, differentiable
-    w.r.t. ``params``."""
+    w.r.t. ``params``.
+
+    ``method``: 'replay' (record fast forward, differentiate the O(R*depth)
+    decision replay — models/replay.py, the fast gradient path), 'ad'
+    (direct reverse-mode through the checkpointed bounce scan — the
+    semantic reference), or 'auto' (replay whenever the scene supports it).
+    """
+    from crucible_tpu.models import replay as replay_mod
+
     sd, cp = apply_params(sd, cp, params)
+    if method == "auto":
+        method = "replay" if replay_mod.replay_supported(sd) else "ad"
     p = pixel_ids.shape[0]
     pix = jnp.tile(pixel_ids, spp)
     smp = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), p)
-    rad = integrator.render_rays(
-        sd, cp, width, height, pix, smp, seed, max_depth, differentiable=True
-    )
+    if method == "replay":
+        rad = replay_mod.render_rays_replay(
+            sd, cp, width, height, pix, smp, seed, max_depth,
+            use_pallas=jax.default_backend() != "cpu",
+        )
+    else:
+        rad = integrator.render_rays(
+            sd, cp, width, height, pix, smp, seed, max_depth, differentiable=True
+        )
     return rad.reshape(spp, p, 3).mean(axis=0)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "spp", "max_depth"))
-def l2_loss(params, sd, cp, target, pixel_ids, seed, *, width, height, spp, max_depth):
+@partial(
+    jax.jit, static_argnames=("width", "height", "spp", "max_depth", "method")
+)
+def l2_loss(
+    params, sd, cp, target, pixel_ids, seed,
+    *, width, height, spp, max_depth, method="auto",
+):
     """Mean squared error against target pixel radiances."""
     img = render_pixels_mean(
-        params, sd, cp, pixel_ids, width, height, spp, max_depth, seed
+        params, sd, cp, pixel_ids, width, height, spp, max_depth, seed,
+        method=method,
     )
     return jnp.mean((img - target) ** 2)
 
 
 loss_and_grad = jax.jit(
     jax.value_and_grad(l2_loss),
-    static_argnames=("width", "height", "spp", "max_depth"),
+    static_argnames=("width", "height", "spp", "max_depth", "method"),
 )
 
 

@@ -156,10 +156,16 @@ def intersect_scene(sd: SceneData, o, d, use_pallas: bool = False, w=None):
 
     front = vec.dot(d, n_out) < 0.0
     normal = jnp.where(front[:, None], n_out, -n_out)
-    return dict(hit=hit, t=t, point=point, normal=normal, front=front, u=uu, v=vv, mat=mat)
+    return dict(
+        hit=hit, t=t, point=point, normal=normal, front=front, u=uu, v=vv,
+        mat=mat, i_sph=i_s, i_tri=i_t, is_tri=is_tri,
+    )
 
 
-def bounce_step(sd: SceneData, o, d, pixel_ids, sample_ids, bounce, seed, use_pallas=False):
+def bounce_step(
+    sd: SceneData, o, d, pixel_ids, sample_ids, bounce, seed,
+    use_pallas=False, return_decisions=False,
+):
     """One wavefront bounce: intersect, shade, sample the next direction.
 
     ``bounce`` may be a scalar (lockstep loop) or a per-ray (R,) array
@@ -195,7 +201,7 @@ def bounce_step(sd: SceneData, o, d, pixel_ids, sample_ids, bounce, seed, use_pa
         jnp.uint32(crng.STREAM_BOUNCE_BASE) + jnp.asarray(bounce).astype(jnp.uint32),
         seed,
     )
-    new_dir, atten, scattered = mat_mod.scatter(
+    scat_out = mat_mod.scatter(
         jnp.take(sd.mat_type, mat, axis=0),
         jnp.take(sd.mat_fuzz, mat, axis=0),
         jnp.take(sd.mat_ior, mat, axis=0),
@@ -207,15 +213,25 @@ def bounce_step(sd: SceneData, o, d, pixel_ids, sample_ids, bounce, seed, use_pa
         u_dir1,
         u_dir2,
         u_decide,
+        return_decisions=return_decisions,
     )
-    return dict(
+    out = dict(
         contrib=contrib,
         hit=hit,
-        scattered=scattered,
+        scattered=scat_out[2],
         new_o=h["point"],
-        new_d=new_dir,
-        atten=atten,
+        new_d=scat_out[0],
+        atten=scat_out[1],
     )
+    if return_decisions:
+        out.update(
+            decisions=scat_out[3],
+            front=h["front"],
+            i_sph=h["i_sph"],
+            i_tri=h["i_tri"],
+            is_tri=h["is_tri"],
+        )
+    return out
 
 
 def make_sphere_table(sd: SceneData):
@@ -267,7 +283,7 @@ def make_sphere_table(sd: SceneData):
         rd,
         jnp.sum(sd.sph_center * cd, -1) - sd.sph_radius * rd,  # s1
         jnp.sum(cd * cd, -1) - rd * rd,  # s2
-        zeros,
+        tid.astype(jnp.float32),  # 30: texture id (replay image lookups)
         zeros,
     ]
     return jnp.stack(cols, axis=1)
@@ -564,7 +580,8 @@ def make_tri_tables(sd: SceneData):
             jnp.take(sd.tex.inv_scale, tid, axis=0)[:, None],
             jnp.take(sd.tex.color, even_id, axis=0),
             jnp.take(sd.tex.color, odd_id, axis=0),
-            jnp.zeros((nm, 6), jnp.float32),
+            tid.astype(jnp.float32)[:, None],  # 18: texture id (replay)
+            jnp.zeros((nm, 5), jnp.float32),
         ],
         axis=1,
     )

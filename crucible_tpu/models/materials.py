@@ -43,6 +43,9 @@ def scatter(
     u_dir1,
     u_dir2,
     u_decide,
+    forced_reflect=None,
+    forced_degenerate=None,
+    return_decisions: bool = False,
 ):
     """Evaluate all BSDF branches for a wavefront of hits and select by type.
 
@@ -57,17 +60,29 @@ def scatter(
       u_dir1, u_dir2: uniforms for the scatter-direction sample.
       u_decide: uniform for the material decision (Lambertian
         Russian-roulette / dielectric reflectance test).
+      forced_reflect, forced_degenerate: optional (R,) bool — replace the
+        computed dielectric reflect / Lambertian degenerate decisions with
+        recorded ones (the replay gradient path freezes every discrete
+        decision so ulp drift in recomputed continuous values can never
+        flip a branch — crucible_tpu/models/replay.py).
+      return_decisions: also return the decision booleans.
 
     Returns:
       (scatter_dir (R,3), attenuation (R,3), scattered (R,) bool)
       ``scattered`` False means the path is absorbed
       (``Material::scatter -> None`` in the reference).
+      With ``return_decisions``: a 4th element, dict with ``reflect`` and
+      ``degenerate`` (R,) bool.
     """
     rnd_unit = sampling.unit_vector(u_dir1, u_dir2)
 
     # --- Lambertian (src/materials/lambertian.rs:40-61) -------------------
     lam_dir = normal + rnd_unit
-    degenerate = vec.near_zero(lam_dir)
+    degenerate = (
+        forced_degenerate
+        if forced_degenerate is not None
+        else vec.near_zero(lam_dir)
+    )
     lam_dir = jnp.where(degenerate[:, None], normal, lam_dir)
     # Russian-roulette with 1/p compensation; all demo scenes pass prob=1.0.
     lam_atten = albedo / jnp.maximum(scatter_prob, 1e-8)[:, None]
@@ -86,7 +101,11 @@ def scatter(
     # 1e-12 floor keeps d(sqrt) finite at grazing/normal incidence for AD.
     sin_theta = jnp.sqrt(jnp.maximum(1.0e-12, 1.0 - cos_theta * cos_theta))
     cannot_refract = ri * sin_theta > 1.0
-    reflect_choice = cannot_refract | (schlick(cos_theta, ri) > u_decide)
+    reflect_choice = (
+        forced_reflect
+        if forced_reflect is not None
+        else cannot_refract | (schlick(cos_theta, ri) > u_decide)
+    )
     die_dir = jnp.where(
         reflect_choice[:, None],
         vec.reflect(ud, normal),
@@ -107,4 +126,8 @@ def scatter(
         jnp.where(mat_type == METAL, met_alive, lam_alive),
     )
     alive = alive & ~is_emissive  # emitters terminate the path
+    if return_decisions:
+        return out_dir, atten, alive, dict(
+            reflect=reflect_choice, degenerate=degenerate
+        )
     return out_dir, atten, alive

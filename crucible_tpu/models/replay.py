@@ -1,0 +1,373 @@
+"""Record/replay differentiable path tracing — the fast gradient path.
+
+The reference's hot loop (src/camera/ray_casting.rs:112-152) is a recursive
+product of attenuations; its TPU-forward counterpart is the wavefront
+integrator. Differentiating that forward directly (models/integrator.trace
+with ``differentiable=True``) is correct but slow: the ``jax.checkpoint``
+re-forward re-runs the full (R, N) candidate intersection every bounce and
+every per-winner ``jnp.take`` transposes into a scatter-add (15.6 ms per
+(1M, 3) scatter on v5e — tools/tpu_results.jsonl).
+
+This module splits the work the TPU way:
+
+1. ``trace_record`` — the FAST, non-differentiable forward. Runs the
+   lockstep wavefront (early-exit while_loop, fused Pallas intersection on
+   TPU) and records, per bounce, only the discrete outcomes: winner
+   primitive id (int32) and a bitmask (alive/hit/tri/scattered/front/
+   reflect/degenerate/root1). Integers carry no tangents, so the records
+   detach exactly the decisions the gradient stance already detached
+   (models/integrator.py docstring).
+
+2. ``trace_replay`` — the differentiable REPLAY. A static scan that
+   re-derives every continuous quantity from the records alone: the hit t
+   as the recorded root of the winning sphere's quadratic (an implicit
+   function of center/radius/ray — same estimator as the custom VJP in
+   ops/intersect.py), normals, albedos, scatter directions (RNG uniforms
+   are pure pcg4d hashes, recomputed bit-identically). Per-bounce work is
+   O(R) — no candidate matrices, no argmin — and all per-winner attribute
+   fetches go through ONE one-hot matmul per table (ops/gather.take_rows_mm)
+   whose backward is an MXU contraction instead of a scatter.
+
+Gradients are mathematically identical to the detached-sampling estimator
+of the direct-AD path (same frozen decisions, same continuous tape);
+radiance values agree with :func:`integrator.trace` up to f32 association
+(the replay recomputes t per winner instead of via the (R, N) matmul).
+
+Replay also differentiates what direct AD could not do cheaply: animated
+(linearly-moving) spheres — center(w) = c + w*cd enters the replayed
+quadratic, so motion gradients flow with no (R, N, 3) rematerialization —
+and triangle-mesh hits via per-winner Möller–Trumbore recomputation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crucible_tpu.models import integrator
+from crucible_tpu.models import materials as mat_mod
+from crucible_tpu.models import skybox as sky_mod
+from crucible_tpu.models import textures as tex_mod
+from crucible_tpu.models.camera import CameraParams, generate_rays
+from crucible_tpu.models.scene import SceneData
+from crucible_tpu.ops import intersect
+from crucible_tpu.ops.gather import take_rows_mm
+from crucible_tpu.utils import rng as crng
+from crucible_tpu.utils import vec
+
+T_MIN = integrator.T_MIN
+
+# Per-bounce decision bits (int32 flag word).
+F_ALIVE = 1  # lane had an in-flight path entering this bounce
+F_HIT = 2  # the path hit a primitive (else: sky)
+F_TRI = 4  # winner is a triangle (else: sphere)
+F_SCAT = 8  # path continued (hit & material scattered)
+F_FRONT = 16  # front-face flag (HitRecord convention)
+F_REFL = 32  # dielectric chose reflection over refraction
+F_DEGEN = 64  # Lambertian scatter direction was degenerate
+F_ROOT1 = 128  # sphere hit used the far quadratic root
+
+
+def replay_supported(sd: SceneData) -> bool:
+    """Static predicate. The only unsupported corner is linearly-moving
+    triangle meshes (per-winner vertex motion lerp is not wired yet)."""
+    return not (sd.animated and sd.tri_v0_d is not None)
+
+
+def _pack(**bits):
+    """Assemble the int32 flag word from named (R,) bools."""
+    word = None
+    masks = dict(
+        alive=F_ALIVE, hit=F_HIT, tri=F_TRI, scat=F_SCAT, front=F_FRONT,
+        refl=F_REFL, degen=F_DEGEN, root1=F_ROOT1,
+    )
+    for name, b in bits.items():
+        term = jnp.where(b, jnp.int32(masks[name]), jnp.int32(0))
+        word = term if word is None else word | term
+    return word
+
+
+def trace_record(
+    sd: SceneData,
+    o,
+    d,
+    pixel_ids,
+    sample_ids,
+    seed,
+    max_depth: int,
+    use_pallas: bool = False,
+):
+    """Fast non-differentiable forward -> per-bounce decision records.
+
+    Returns (idx (D, R) int32 winner ids, flags (D, R) int32 bit words).
+    Rows past the wavefront's death are all-zero (F_ALIVE clear).
+    """
+    r = o.shape[0]
+    idx0 = jnp.zeros((max_depth, r), jnp.int32)
+    flg0 = jnp.zeros((max_depth, r), jnp.int32)
+
+    if sd.animated:
+        w = crng.uniform1(pixel_ids, sample_ids, crng.STREAM_TIME, seed)
+    else:
+        w = None
+
+    def body(state):
+        bounce, o_c, d_c, alive, idxbuf, flgbuf = state
+        s = integrator.bounce_step(
+            sd, o_c, d_c, pixel_ids, sample_ids, bounce, seed,
+            use_pallas=use_pallas, return_decisions=True,
+        )
+        hit = alive & s["hit"]
+        is_tri = s["is_tri"]
+        i_s = s["i_sph"]
+
+        # Which quadratic root the winning sphere hit used — recomputed with
+        # the same per-winner math the replay will use, so the bit and the
+        # replayed t are self-consistent (src/objects/sphere.rs:84-94: near
+        # root preferred, far root if the near one is outside the interval).
+        c_w = jnp.take(sd.sph_center, i_s, axis=0)
+        r_w = jnp.take(sd.sph_radius, i_s, axis=0)
+        if sd.animated:
+            c_w = c_w + w[:, None] * jnp.take(sd.sph_center_d, i_s, axis=0)
+            r_w = r_w + w * jnp.take(sd.sph_radius_d, i_s, axis=0)
+        a_q = jnp.sum(d_c * d_c, axis=-1)
+        oc = c_w - o_c
+        h_q = jnp.sum(d_c * oc, axis=-1)
+        c_q = jnp.sum(oc * oc, axis=-1) - r_w * r_w
+        disc = jnp.maximum(h_q * h_q - a_q * c_q, 0.0)
+        root0 = (h_q - jnp.sqrt(disc)) / a_q
+        root1 = ~(root0 > T_MIN)
+
+        cont = hit & s["scattered"]
+        flags = _pack(
+            alive=alive, hit=hit, tri=is_tri & hit, scat=cont,
+            front=s["front"], refl=s["decisions"]["reflect"],
+            degen=s["decisions"]["degenerate"], root1=root1 & ~is_tri,
+        )
+        win = jnp.where(is_tri, s["i_tri"], i_s).astype(jnp.int32)
+        idxbuf = jax.lax.dynamic_update_slice(idxbuf, win[None], (bounce, 0))
+        flgbuf = jax.lax.dynamic_update_slice(flgbuf, flags[None], (bounce, 0))
+
+        o_c = jnp.where(cont[:, None], s["new_o"], o_c)
+        d_c = jnp.where(cont[:, None], s["new_d"], d_c)
+        return bounce + 1, o_c, d_c, cont, idxbuf, flgbuf
+
+    def cond(state):
+        bounce, _, _, alive, _, _ = state
+        return (bounce < max_depth) & jnp.any(alive)
+
+    alive0 = jnp.ones((r,), bool)
+    state = (jnp.int32(0), o, d, alive0, idx0, flg0)
+    *_, idxbuf, flgbuf = jax.lax.while_loop(cond, body, state)
+    return idxbuf, flgbuf
+
+
+def trace_replay(
+    sd: SceneData,
+    o,
+    d,
+    pixel_ids,
+    sample_ids,
+    seed,
+    max_depth: int,
+    rec_idx,
+    rec_flags,
+):
+    """Differentiable O(R * depth) replay of recorded decisions -> (R, 3)."""
+    r = o.shape[0]
+    table = integrator.make_sphere_table(sd)  # (N, 32), differentiable
+    if sd.num_tris > 0:
+        _, _, mats = integrator.make_tri_tables(sd)  # (L, 24)
+    else:
+        mats = None
+    if sd.animated:
+        w = crng.uniform1(pixel_ids, sample_ids, crng.STREAM_TIME, seed)
+    else:
+        w = None
+
+    n_imgs = len(sd.tex.images)
+
+    @jax.checkpoint
+    def step(carry, xs):
+        o_c, d_c, thr, rad = carry
+        idx, flags, bounce = xs
+        alive = (flags & F_ALIVE) > 0
+        hit = (flags & F_HIT) > 0
+        is_tri = (flags & F_TRI) > 0
+        cont = (flags & F_SCAT) > 0
+        front = (flags & F_FRONT) > 0
+        refl = (flags & F_REFL) > 0
+        degen = (flags & F_DEGEN) > 0
+        root1 = (flags & F_ROOT1) > 0
+
+        # --- winner attribute fetch: ONE one-hot matmul per table ----------
+        srow = take_rows_mm(table, jnp.where(is_tri, 0, idx))  # (R, 32)
+        c_w = srow[:, 0:3]
+        r_w = srow[:, 3]
+        if sd.animated:
+            c_w = c_w + w[:, None] * srow[:, 24:27]
+            r_w = r_w + w * srow[:, 27]
+
+        # Hit t as the recorded root of the winner's quadratic — the same
+        # implicit-function estimator as ops/intersect.py's custom VJP, but
+        # on the primal tape (autodiff differentiates the closed form).
+        a_q = jnp.sum(d_c * d_c, axis=-1)
+        oc = c_w - o_c
+        h_q = jnp.sum(d_c * oc, axis=-1)
+        c_q = jnp.sum(oc * oc, axis=-1) - r_w * r_w
+        disc = h_q * h_q - a_q * c_q
+        pos = disc > 0.0
+        sqrtd = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
+        t_sph = (h_q + jnp.where(root1, sqrtd, -sqrtd)) / a_q
+
+        if sd.num_tris > 0:
+            ti = jnp.where(is_tri, idx, 0)
+            v0 = jnp.take(sd.tri_v0, ti, axis=0)
+            v1 = jnp.take(sd.tri_v1, ti, axis=0)
+            v2 = jnp.take(sd.tri_v2, ti, axis=0)
+            # Per-winner Möller–Trumbore t (src/objects/triangle.rs:84-140).
+            e1 = v1 - v0
+            e2 = v2 - v0
+            pvec = jnp.cross(d_c, e2)
+            det = jnp.sum(e1 * pvec, axis=-1)
+            inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
+            qvec = jnp.cross(o_c - v0, e1)
+            t_tri = jnp.sum(e2 * qvec, axis=-1) * inv_det
+            n_tri = intersect.triangle_normal(v0, v1, v2)
+            mrow = take_rows_mm(mats, jnp.take(sd.tri_mat, ti, axis=0))
+            t_hit = jnp.where(is_tri, t_tri, t_sph)
+
+            def attr(c):  # sphere table column c; mats stores c-6
+                return jnp.where(is_tri, mrow[:, c - 6], srow[:, c])
+
+            def attr3(c):
+                return jnp.where(
+                    is_tri[:, None], mrow[:, c - 6 : c - 3], srow[:, c : c + 3]
+                )
+        else:
+            t_hit = t_sph
+            n_tri = None
+
+            def attr(c):
+                return srow[:, c]
+
+            def attr3(c):
+                return srow[:, c : c + 3]
+
+        t_shade = jnp.where(hit, t_hit, 1.0)
+        point = o_c + t_shade[:, None] * d_c
+        n_sph = (point - c_w) / jnp.maximum(r_w, 1e-20)[:, None]
+        n_out = jnp.where(is_tri[:, None], n_tri, n_sph) if n_tri is not None else n_sph
+        normal = jnp.where(front[:, None], n_out, -n_out)
+
+        # --- radiance: sky on miss, emission on hit -------------------------
+        sky = sky_mod.radiance(sd.sky_kind, sd.sky_image, d_c)
+        emission = attr3(10)
+        contrib = jnp.where(hit[:, None], emission, sky)
+        rad = rad + jnp.where(alive[:, None], thr * contrib, 0.0)
+
+        # --- albedo: solid / checker / image (models/textures.py) ----------
+        inv_scale = attr(17)
+        xyz = jnp.floor(inv_scale[:, None] * point).astype(jnp.int32)
+        is_even = (xyz[:, 0] + xyz[:, 1] + xyz[:, 2]) % 2 == 0
+        kind = attr(13)
+        checker = jnp.where(is_even[:, None], attr3(18), attr3(21))
+        albedo = jnp.where(
+            (kind == np.float32(tex_mod.CHECKER))[:, None], checker, attr3(14)
+        )
+        if n_imgs:
+            # Resolve one level of checker nesting to a leaf id, then unroll
+            # the scene's images (integer takes carry no tangents; the texel
+            # gather IS the texel gradient).
+            if sd.num_tris > 0:
+                tid = jnp.where(is_tri, mrow[:, 18], srow[:, 30])
+            else:
+                tid = srow[:, 30]
+            tid = tid.astype(jnp.int32)
+            child = jnp.where(
+                is_even,
+                jnp.take(sd.tex.even, tid, axis=0),
+                jnp.take(sd.tex.odd, tid, axis=0),
+            )
+            resolved = jnp.where(
+                jnp.take(sd.tex.kind, tid, axis=0) == tex_mod.CHECKER, child, tid
+            )
+            rkind = jnp.take(sd.tex.kind, resolved, axis=0)
+            rimg = jnp.take(sd.tex.image_id, resolved, axis=0)
+            u_s, v_s = intersect.sphere_uv(n_sph)
+            uu = jnp.where(is_tri, 0.0, u_s)
+            vv = jnp.where(is_tri, 0.0, v_s)
+            for k, img in enumerate(sd.tex.images):
+                m = (rkind == tex_mod.IMAGE) & (rimg == k)
+                albedo = jnp.where(
+                    m[:, None], tex_mod.image_lookup(img, uu, vv), albedo
+                )
+
+        # --- scatter with frozen decisions ----------------------------------
+        u1, u2, u_dec = crng.uniform3(
+            pixel_ids,
+            sample_ids,
+            jnp.uint32(crng.STREAM_BOUNCE_BASE) + bounce.astype(jnp.uint32),
+            seed,
+        )
+        new_dir, atten, _ = mat_mod.scatter(
+            attr(6).astype(jnp.int32),
+            attr(7),
+            attr(8),
+            attr(9),
+            albedo,
+            d_c,
+            normal,
+            front,
+            u1,
+            u2,
+            u_dec,
+            forced_reflect=refl,
+            forced_degenerate=degen,
+        )
+        thr = jnp.where(cont[:, None], thr * atten, thr)
+        o_c = jnp.where(cont[:, None], point, o_c)
+        d_c = jnp.where(cont[:, None], new_dir, d_c)
+        return (o_c, d_c, thr, rad), None
+
+    thr0 = jnp.ones((r, 3), jnp.float32)
+    rad0 = jnp.zeros((r, 3), jnp.float32)
+    bounces = jnp.arange(max_depth, dtype=jnp.int32)
+    (_, _, _, rad), _ = jax.lax.scan(
+        step, (o, d, thr0, rad0), (rec_idx, rec_flags, bounces)
+    )
+    return rad
+
+
+def render_rays_replay(
+    sd: SceneData,
+    cp: CameraParams,
+    width: int,
+    height: int,
+    pixel_ids,
+    sample_ids,
+    seed,
+    max_depth: int,
+    use_pallas: bool = False,
+):
+    """Primary rays + record + differentiable replay -> radiance (R, 3).
+
+    The records are integer-valued (no tangents), so under ``jax.grad`` the
+    record pass contributes nothing to the tape and the gradient is exactly
+    the replay's detached-sampling estimator.
+    """
+    o, d, _ = generate_rays(cp, width, height, pixel_ids, sample_ids, seed)
+    rec_idx, rec_flags = trace_record(
+        sd,
+        jax.lax.stop_gradient(o),
+        jax.lax.stop_gradient(d),
+        pixel_ids,
+        sample_ids,
+        seed,
+        max_depth,
+        use_pallas=use_pallas,
+    )
+    return trace_replay(
+        sd, o, d, pixel_ids, sample_ids, seed, max_depth, rec_idx, rec_flags
+    )

@@ -1,0 +1,208 @@
+"""Record/replay gradient path (models/replay.py): the replay's radiance
+must match the direct wavefront integrator, and gradients through the
+replay must pass the same finite-difference acceptance as direct AD —
+including the scenes direct AD could not reach (animated spheres,
+triangle meshes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crucible_tpu import grad as G
+from crucible_tpu.models import demo, integrator
+from crucible_tpu.models import replay as replay_mod
+from crucible_tpu.models.camera import generate_rays
+from crucible_tpu.models.scene import Lambertian, Metal, Scene, Sphere
+from crucible_tpu.models.timeline import LERP, WORLD
+from crucible_tpu.ops.gather import take_rows_mm
+
+
+def _rays(sc, width, height, spp, seed=0):
+    sd = sc.build()
+    cp = sc.scene_cam.params()
+    p = width * height
+    pix = jnp.tile(jnp.arange(p, dtype=jnp.uint32), spp)
+    smp = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), p)
+    return sd, cp, pix, smp
+
+
+class TestTakeRowsMM:
+    def test_matches_take(self):
+        table = jnp.asarray(np.random.default_rng(0).normal(size=(37, 8)), jnp.float32)
+        idx = jnp.asarray(np.random.default_rng(1).integers(0, 37, 513), jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(take_rows_mm(table, idx)),
+            np.asarray(jnp.take(table, idx, axis=0)),
+        )
+
+    def test_backward_is_exact_scatter_sum(self):
+        table = jnp.ones((5, 2), jnp.float32)
+        idx = jnp.asarray([0, 3, 3, 1], jnp.int32)
+        g = jax.grad(lambda t: jnp.sum(take_rows_mm(t, idx) * 2.0))(table)
+        expect = np.zeros((5, 2), np.float32)
+        for i in idx:
+            expect[int(i)] += 2.0
+        np.testing.assert_allclose(np.asarray(g), expect)
+
+
+class TestReplayMatchesForward:
+    @pytest.mark.parametrize(
+        "mk,depth",
+        [
+            (demo.smoke_scene, 6),
+            (demo.book1_end_scene, 8),
+            (demo.checkered_spheres, 5),
+            (demo.earth, 4),
+            (demo.load_teapot, 5),
+        ],
+    )
+    def test_radiance_close(self, mk, depth):
+        sc = mk(width=32)
+        sd, cp, pix, smp = _rays(sc, 32, sc.scene_cam.image_height, 2)
+        o, d, _ = generate_rays(cp, 32, sc.scene_cam.image_height, pix, smp, 0)
+        ref = integrator.trace(sd, o, d, pix, smp, jnp.uint32(0), depth)
+        got = replay_mod.render_rays_replay(
+            sd, cp, 32, sc.scene_cam.image_height, pix, smp, jnp.uint32(0), depth
+        )
+        # Same decisions, same RNG; only f32 association of the hit-t math
+        # differs (per-winner dot vs (R,N) matmul quadratic). Silhouette
+        # lanes can land on different-but-valid decision branches when the
+        # recomputed t drifts an ulp across the acceptance boundary, so
+        # compare means tightly and lanes loosely.
+        ref, got = np.asarray(ref), np.asarray(got)
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got.mean(0), ref.mean(0), rtol=2e-3, atol=2e-3)
+        close = np.isclose(got, ref, rtol=1e-3, atol=1e-3).all(axis=-1)
+        assert close.mean() > 0.98, f"only {close.mean():.3f} lanes match"
+
+    def test_animated_scene_radiance_close(self):
+        sc = demo.smoke_scene(width=32)
+        sc.translate_x(1.0, 1.0, LERP, WORLD, "ball")  # make it animated
+        sc.scene_cam.frame = 6
+        sd, cp, pix, smp = _rays(sc, 32, sc.scene_cam.image_height, 2)
+        assert sd.animated
+        o, d, _ = generate_rays(cp, 32, sc.scene_cam.image_height, pix, smp, 0)
+        ref = integrator.trace(sd, o, d, pix, smp, jnp.uint32(0), 6)
+        got = replay_mod.render_rays_replay(
+            sd, cp, 32, sc.scene_cam.image_height, pix, smp, jnp.uint32(0), 6
+        )
+        ref, got = np.asarray(ref), np.asarray(got)
+        np.testing.assert_allclose(got.mean(0), ref.mean(0), rtol=2e-3, atol=2e-3)
+
+
+def _fd_vs_grad(sc, key, width=32, spp=4, depth=4, eps=1e-3, rel=2e-2, pix_n=None):
+    sd = sc.build()
+    cp = sc.scene_cam.params()
+    height = sc.scene_cam.image_height
+    n = pix_n or width * height
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    target = jnp.zeros((n, 3), jnp.float32)
+    params = G.extract_params(sd, cp)
+    kw = dict(width=width, height=height, spp=spp, max_depth=depth, method="replay")
+    _, grads = G.loss_and_grad(params, sd, cp, target, pix, jnp.uint32(0), **kw)
+    g = np.asarray(grads[key])
+    idx = np.unravel_index(np.argmax(np.abs(g)), g.shape)
+    assert abs(g[idx]) > 0
+
+    def loss_at(delta):
+        p2 = dict(params)
+        arr = np.asarray(params[key], np.float64).copy()
+        arr[idx] += delta
+        p2[key] = jnp.asarray(arr, jnp.float32)
+        return float(G.l2_loss(p2, sd, cp, target, pix, jnp.uint32(0), **kw))
+
+    fd = (loss_at(eps) - loss_at(-eps)) / (2 * eps)
+    assert g[idx] == pytest.approx(fd, rel=rel), f"{key}: ad={g[idx]} fd={fd}"
+
+
+class TestReplayFiniteDifference:
+    def test_albedo(self):
+        _fd_vs_grad(demo.smoke_scene(width=32), "tex_color")
+
+    def test_emission(self):
+        sc = Scene.new_image(1.0, 32)
+        sc.scene_cam.look_from((0, 0, 2))
+        sc.scene_cam.look_at((0, 0, 0))
+        sc.scene_cam.set_vfov(40.0)
+        from crucible_tpu.models.scene import Emissive
+
+        sc.add_element(Sphere((0, 0, 0), 0.5, Emissive((1.0, 0.5, 0.2))), "light")
+        _fd_vs_grad(sc, "mat_emission")
+
+    def test_texel_image(self):
+        sc = demo.earth(width=24)
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        pix = jnp.arange(24 * 13, dtype=jnp.uint32)
+        target = jnp.zeros((24 * 13, 3), jnp.float32)
+        params = G.extract_params(sd, cp)
+        kw = dict(width=24, height=13, spp=2, max_depth=3, method="replay")
+        _, grads = G.loss_and_grad(params, sd, cp, target, pix, jnp.uint32(0), **kw)
+        g = np.asarray(grads["tex_images"][0])
+        assert np.isfinite(g).all() and np.abs(g).max() > 0
+
+    def test_camera_vfov_sky_pixels(self):
+        sc = demo.smoke_scene(width=32)
+        _fd_vs_grad(sc, "cam_vfov", pix_n=8, spp=2, depth=3, eps=1e-4)
+
+    def test_fuzz_metal_matches_direct_ad(self):
+        """Fuzz gradients are boundary-dominated (rotating scatter
+        directions flips hit/miss at silhouettes — a term every
+        detached-sampling estimator excludes, FD included at eps scale), so
+        the acceptance here is estimator EQUIVALENCE: replay must produce
+        the same interior gradient as direct reverse-mode AD."""
+        sc = Scene.new_image(1.0, 32)
+        sc.scene_cam.look_from((0, 0, 2))
+        sc.scene_cam.look_at((0, 0, 0))
+        sc.scene_cam.set_vfov(40.0)
+        sc.add_element(Sphere((0, 0, 0), 0.5, Metal((0.8, 0.7, 0.6), 0.3)), "m")
+        sc.add_element(
+            Sphere((0, -100.5, 0), 100.0, Lambertian.from_color((0.5, 0.5, 0.5))),
+            "ground",
+        )
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        pix = jnp.arange(32 * 32, dtype=jnp.uint32)
+        target = jnp.zeros((32 * 32, 3), jnp.float32)
+        params = G.extract_params(sd, cp)
+        kw = dict(width=32, height=32, spp=4, max_depth=4)
+        _, g_ad = G.loss_and_grad(
+            params, sd, cp, target, pix, jnp.uint32(0), method="ad", **kw
+        )
+        _, g_rp = G.loss_and_grad(
+            params, sd, cp, target, pix, jnp.uint32(0), method="replay", **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_rp["mat_fuzz"]), np.asarray(g_ad["mat_fuzz"]),
+            rtol=1e-3, atol=1e-7,
+        )
+
+    def test_moving_sphere_albedo(self):
+        """Animated-scene gradients — unreachable for direct AD without an
+        (R, N, 3) rematerialization; the replayed quadratic carries them."""
+        sc = demo.smoke_scene(width=32)
+        sc.translate_x(0.6, 1.0, LERP, WORLD, "ball")
+        sc.scene_cam.frame = 6
+        assert sc.build().animated
+        _fd_vs_grad(sc, "tex_color", depth=4)
+
+    def test_teapot_mesh_albedo(self):
+        """Triangle-BVH scene gradients through per-winner Möller-Trumbore."""
+        sc = demo.load_teapot(width=24)
+        _fd_vs_grad(sc, "tex_color", width=24, spp=2, depth=3, rel=5e-2)
+
+
+class TestReplayGradientsFinite:
+    def test_all_finite_book1(self):
+        sc = demo.book1_end_scene(width=32)
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        pix = jnp.arange(32 * 18, dtype=jnp.uint32)
+        target = jnp.zeros((32 * 18, 3), jnp.float32)
+        params = G.extract_params(sd, cp)
+        kw = dict(width=32, height=18, spp=4, max_depth=4, method="replay")
+        _, grads = G.loss_and_grad(params, sd, cp, target, pix, jnp.uint32(0), **kw)
+        for k, leaf in grads.items():
+            for arr in jax.tree_util.tree_leaves(leaf):
+                assert bool(jnp.isfinite(arr).all()), f"non-finite grad in {k}"
