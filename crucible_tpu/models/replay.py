@@ -358,8 +358,12 @@ def render_rays_replay(
     the replay's detached-sampling estimator.
     """
     o, d, _ = generate_rays(cp, width, height, pixel_ids, sample_ids, seed)
+    # The record pass produces only integers, but its interior (early-exit
+    # while_loop, raw Pallas intersection) must not carry tangents at all —
+    # while_loop has no linearization with unknown primals and the fused
+    # kernel has no JVP rule. Detach every float input.
     rec_idx, rec_flags = trace_record(
-        sd,
+        jax.lax.stop_gradient(sd),
         jax.lax.stop_gradient(o),
         jax.lax.stop_gradient(d),
         pixel_ids,

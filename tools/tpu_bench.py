@@ -116,6 +116,37 @@ def demos(width=400, spp=32, depth=50):
         )
 
 
+def grad(configs=((192, 108, 4, 8), (384, 216, 4, 8), (768, 432, 4, 8))):
+    """fwd+bwd loss_and_grad throughput (north-star metric component):
+    replay vs direct-AD at growing pixel batches on book1."""
+    from crucible_tpu import grad as G
+    from crucible_tpu.models import demo
+
+    sc = demo.book1_end_scene(width=400)
+    sd = sc.build()
+    cp = sc.scene_cam.params()
+    params = G.extract_params(sd, cp)
+    for method in ("replay", "ad"):
+        for (w, h, spp, depth) in configs:
+            if method == "ad" and w > 192:
+                continue  # direct AD at large batches is known-slow; skip
+            pix = jnp.arange(w * h, dtype=jnp.uint32)
+            target = jnp.zeros((w * h, 3), jnp.float32)
+            kw = dict(width=w, height=h, spp=spp, max_depth=depth, method=method)
+            loss, g = G.loss_and_grad(params, sd, cp, target, pix, jnp.uint32(0), **kw)
+            jax.block_until_ready(g)
+            t0 = time.time()
+            loss, g = G.loss_and_grad(params, sd, cp, target, pix, jnp.uint32(1), **kw)
+            jax.block_until_ready(g)
+            dt = time.time() - t0
+            log(
+                bench=f"fwd_bwd_{method}_{w}x{h}x{spp}spp_d{depth}",
+                seconds=round(dt, 3),
+                mrays_per_s=round(w * h * spp / dt / 1e6, 3),
+                loss=round(float(loss), 5),
+            )
+
+
 def full():
     micro()
     quick(400)
@@ -126,4 +157,4 @@ def full():
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "quick"
     print("devices:", jax.devices(), flush=True)
-    {"quick": quick, "full": full, "micro": micro, "demos": demos}[mode]()
+    {"quick": quick, "full": full, "micro": micro, "demos": demos, "grad": grad}[mode]()
