@@ -48,7 +48,19 @@ class CameraParams:
     shutter_length: jnp.ndarray  # () = (shutter_angle/360) / frame_rate
     look_from_d: jnp.ndarray = None  # (3,) shutter-close minus shutter-open
     look_at_d: jnp.ndarray = None  # (3,)
+    # Exact per-ray-time camera tracks (set only when a camera keyframe lands
+    # inside the shutter window — the linear lerp above then deviates from
+    # per-ray timeline evaluation; models/timeline.py).
+    from_tr_t0: jnp.ndarray = None  # (K,)
+    from_tr_t1: jnp.ndarray = None
+    from_tr_delta: jnp.ndarray = None  # (K, 3)
+    from_tr_init: jnp.ndarray = None  # (3,)
+    at_tr_t0: jnp.ndarray = None
+    at_tr_t1: jnp.ndarray = None
+    at_tr_delta: jnp.ndarray = None
+    at_tr_init: jnp.ndarray = None
     animated: bool = struct.field(pytree_node=False, default=False)
+    motion_exact: bool = struct.field(pytree_node=False, default=False)
 
 
 def generate_rays(
@@ -90,7 +102,19 @@ def generate_rays(
     # cameras (motion blur) the basis is re-derived PER RAY at the ray's
     # shutter fraction — the vectorized form of the reference recomputing
     # u/v/w per call at the ray time.
-    if cp.animated:
+    if cp.animated and cp.motion_exact:
+        # Exact piecewise-linear track evaluation at the ray's absolute time
+        # (camera keyframe inside the shutter window).
+        from crucible_tpu.models.timeline import eval_translate
+
+        t_ray = times  # frame_time + u_t * shutter_length (absolute)
+        lf = eval_translate(
+            cp.from_tr_t0, cp.from_tr_t1, cp.from_tr_delta, cp.from_tr_init, t_ray
+        )  # (R, 3)
+        la = eval_translate(
+            cp.at_tr_t0, cp.at_tr_t1, cp.at_tr_delta, cp.at_tr_init, t_ray
+        )
+    elif cp.animated:
         w01 = u_t[:, None]  # (R, 1)
         lf = cp.look_from[None, :] + w01 * cp.look_from_d[None, :]  # (R, 3)
         la = cp.look_at[None, :] + w01 * cp.look_at_d[None, :]
@@ -233,7 +257,43 @@ class Camera:
             at_a = at_b = self.look_at_pt
         import numpy as np
 
+        # Mid-shutter camera keyframe -> exact per-ray track evaluation
+        # (models/timeline.py; see CameraParams.motion_exact).
+        exact = False
+        track_fields = {}
+        if animated:
+            for tl in (self.from_timeline, self.at_timeline):
+                if tl is None:
+                    continue
+                b = tl.boundary_times()
+                if np.any((b > t_open + 1e-9) & (b < t_close - 1e-9)):
+                    exact = True
+            if exact:
+                from crucible_tpu.models.timeline import TransformTimeline
+
+                for name, tl, init in (
+                    ("from", self.from_timeline, self.look_from_pt),
+                    ("at", self.at_timeline, self.look_at_pt),
+                ):
+                    tl = tl or TransformTimeline(init_pos=tuple(init))
+                    a0, a1, dl = tl.lower_translate()
+                    if len(a0) == 0:  # static target: one zero-delta segment
+                        a0 = a1 = np.zeros((1,), np.float32)
+                        dl = np.zeros((1, 3), np.float32)
+                    track_fields.update(
+                        {
+                            f"{name}_tr_t0": jnp.asarray(a0),
+                            f"{name}_tr_t1": jnp.asarray(a1),
+                            f"{name}_tr_delta": jnp.asarray(dl),
+                            f"{name}_tr_init": jnp.asarray(
+                                tl.init_pos, jnp.float32
+                            ),
+                        }
+                    )
+
         return CameraParams(
+            motion_exact=exact,
+            **track_fields,
             look_from=jnp.asarray(from_a, jnp.float32),
             look_at=jnp.asarray(at_a, jnp.float32),
             vup=jnp.asarray(self.vup, jnp.float32),

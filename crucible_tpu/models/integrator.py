@@ -55,7 +55,28 @@ def intersect_scene(sd: SceneData, o, d, use_pallas: bool = False, w=None):
     """
     r = o.shape[0]
     animated = sd.animated
-    if animated:
+    exact = animated and sd.motion_exact
+    if exact:
+        # Exact per-ray-time evaluation (keyframe inside the shutter window;
+        # models/scene.py build detection). Evaluates the piecewise-linear
+        # tracks at the ray's absolute time — the vectorized counterpart of
+        # the reference re-evaluating the whole timeline per ray
+        # (src/objects/sphere.rs:67-69). O(R*N*K) — a correctness path, not
+        # a fast path (the linear-shutter model covers everything else).
+        from crucible_tpu.models import timeline as tl_mod
+
+        assert w is not None
+        t_ray = sd.motion_t0 + w * (sd.motion_t1 - sd.motion_t0)
+        centers_rt = tl_mod.eval_translate(
+            sd.sph_tr_t0, sd.sph_tr_t1, sd.sph_tr_delta, sd.sph_tr_init, t_ray
+        )  # (R, N, 3)
+        radii_rt = tl_mod.eval_scale(
+            sd.sph_sc_t0, sd.sph_sc_t1, sd.sph_sc_from, sd.sph_sc_to, t_ray
+        )[..., 0]  # (R, N)
+        t_s, i_s, hit_s = intersect.hit_spheres(
+            o, d, centers_rt, radii_rt, sd.sph_active, T_MIN, jnp.inf
+        )
+    elif animated:
         assert w is not None, "animated scenes need per-ray shutter fractions"
         t_s, i_s, hit_s = intersect.hit_spheres_moving(
             o,
@@ -81,8 +102,29 @@ def intersect_scene(sd: SceneData, o, d, use_pallas: bool = False, w=None):
             o, d, sd.sph_center, sd.sph_radius, sd.sph_active, T_MIN, jnp.inf
         )
 
-    moving_tris = animated and sd.tri_v0_d is not None
-    if sd.num_tris > 0:
+    moving_tris = animated and sd.tri_v0_d is not None and not sd.tri_exact
+    tri_rt = None
+    if sd.num_tris > 0 and exact and sd.tri_exact:
+        from crucible_tpu.models import timeline as tl_mod
+
+        vall = tl_mod.eval_translate(
+            sd.tri_tr_t0, sd.tri_tr_t1, sd.tri_tr_delta, sd.tri_tr_init, t_ray
+        )  # (R, 3M, 3) vertex-major
+        sall = tl_mod.eval_scale(
+            sd.tri_sc_t0, sd.tri_sc_t1, sd.tri_sc_from, sd.tri_sc_to, t_ray
+        )
+        vall = sall * vall  # reference: scale(t) * translate(t) * origin
+        m_rows = sd.tri_v0.shape[0]
+        tri_rt = (
+            vall[:, 0:m_rows],
+            vall[:, m_rows : 2 * m_rows],
+            vall[:, 2 * m_rows : 3 * m_rows],
+        )
+        t_t, i_t, hit_t = intersect.hit_triangles(
+            o, d, tri_rt[0], tri_rt[1], tri_rt[2], sd.tri_active, T_MIN, jnp.inf
+        )
+        is_tri = hit_t & (t_t < t_s)
+    elif sd.num_tris > 0:
         motion = (
             dict(v0d=sd.tri_v0_d, v1d=sd.tri_v1_d, v2d=sd.tri_v2_d, w=w)
             if moving_tris
@@ -125,18 +167,28 @@ def intersect_scene(sd: SceneData, o, d, use_pallas: bool = False, w=None):
     point = o + t_shade[:, None] * d
 
     # Sphere shading attributes (src/objects/sphere.rs:95-105).
-    c_w = jnp.take(sd.sph_center, i_s, axis=0)
-    r_w = jnp.take(sd.sph_radius, i_s, axis=0)
-    if animated:
-        c_w = c_w + w[:, None] * jnp.take(sd.sph_center_d, i_s, axis=0)
-        r_w = r_w + w * jnp.take(sd.sph_radius_d, i_s, axis=0)
+    if exact:
+        c_w = jnp.take_along_axis(centers_rt, i_s[:, None, None], axis=1)[:, 0]
+        r_w = jnp.take_along_axis(radii_rt, i_s[:, None], axis=1)[:, 0]
+    else:
+        c_w = jnp.take(sd.sph_center, i_s, axis=0)
+        r_w = jnp.take(sd.sph_radius, i_s, axis=0)
+        if animated:
+            c_w = c_w + w[:, None] * jnp.take(sd.sph_center_d, i_s, axis=0)
+            r_w = r_w + w * jnp.take(sd.sph_radius_d, i_s, axis=0)
     n_sph = (point - c_w) / jnp.maximum(r_w, 1e-20)[:, None]
     u_sph, v_sph = intersect.sphere_uv(n_sph)
 
     if sd.num_tris > 0:
-        a = jnp.take(sd.tri_v0, i_t, axis=0)
-        b = jnp.take(sd.tri_v1, i_t, axis=0)
-        c = jnp.take(sd.tri_v2, i_t, axis=0)
+        if tri_rt is not None:
+            sel = i_t[:, None, None]
+            a = jnp.take_along_axis(tri_rt[0], sel, axis=1)[:, 0]
+            b = jnp.take_along_axis(tri_rt[1], sel, axis=1)[:, 0]
+            c = jnp.take_along_axis(tri_rt[2], sel, axis=1)[:, 0]
+        else:
+            a = jnp.take(sd.tri_v0, i_t, axis=0)
+            b = jnp.take(sd.tri_v1, i_t, axis=0)
+            c = jnp.take(sd.tri_v2, i_t, axis=0)
         if moving_tris:
             a = a + w[:, None] * jnp.take(sd.tri_v0_d, i_t, axis=0)
             b = b + w[:, None] * jnp.take(sd.tri_v1_d, i_t, axis=0)
@@ -293,8 +345,10 @@ def fused_supported(sd: SceneData) -> bool:
     """Static predicate: the fused gather-free bounce applies to sphere-only
     scenes (static or linearly-moving) whose textures are
     solid/checker-of-solid (no image lookups — those need uv + texel
-    gathers). The equirect sky image is fine (sampled outside the kernel)."""
-    return sd.num_tris == 0 and len(sd.tex.images) == 0
+    gathers). The equirect sky image is fine (sampled outside the kernel).
+    Exact per-ray-time track evaluation (mid-shutter keyframes) stays on
+    the jnp path."""
+    return sd.num_tris == 0 and len(sd.tex.images) == 0 and not sd.motion_exact
 
 
 def bounce_step_fused(sd: SceneData, table, o, d, pixel_ids, sample_ids, bounce, seed):
@@ -420,6 +474,7 @@ def trace_persistent(
     lanes: int = 0,
     use_pallas: bool = True,
     return_stats: bool = False,
+    sample_start=0,
 ):
     """Persistent-wavefront path tracer with lane-local sample regeneration.
 
@@ -450,6 +505,10 @@ def trace_persistent(
     spp keeps ONE compiled executable across sample counts (the group count
     then comes from ``lanes`` alone; groups beyond spp idle, which only
     wastes lanes when spp is tiny).
+
+    ``sample_start`` renders samples [sample_start, spp) — the chunked
+    progress-reporting driver (models/render.py) sums chunk renders, same
+    sample set as one call up to f32 summation order.
     """
     num_pixels = width * height
     spp_static = int(spp) if isinstance(spp, (int, np.integer)) else None
@@ -457,6 +516,7 @@ def trace_persistent(
     if spp_static is not None:
         groups = min(spp_static, groups)
     spp = jnp.asarray(spp, jnp.uint32)
+    sample_start = jnp.asarray(sample_start, jnp.uint32)
     p_pad = ((num_pixels + 511) // 512) * 512  # pallas TILE_RAYS alignment
     r = groups * p_pad
 
@@ -467,7 +527,7 @@ def trace_persistent(
     pad = (lane % p_pad) >= num_pixels
 
     acc0 = jnp.zeros((r, 3), jnp.float32)
-    sample0 = jnp.where(pad, spp, grp).astype(jnp.uint32)
+    sample0 = jnp.where(pad, spp, sample_start + grp).astype(jnp.uint32)
     alive0 = jnp.zeros((r,), bool)
     bounce0 = jnp.zeros((r,), jnp.int32)
     o0 = jnp.zeros((r, 3), jnp.float32)
@@ -533,7 +593,11 @@ def megakernel_supported(sd: SceneData, cp) -> bool:
     data), else the staged path handles them."""
     tris_ok = sd.num_tris == 0 or (sd.use_bvh and not sd.animated)
     return (
-        len(sd.tex.images) == 0 and sd.sky_kind == sky_mod.DEFAULT and tris_ok
+        len(sd.tex.images) == 0
+        and sd.sky_kind == sky_mod.DEFAULT
+        and tris_ok
+        and not sd.motion_exact
+        and not getattr(cp, "motion_exact", False)
     )
 
 
@@ -588,6 +652,43 @@ def make_tri_tables(sd: SceneData):
     return tri_nodes, tris, mats
 
 
+def mega_cam_vector(cp, width: int, height: int):
+    """Camera-constant vector for the megakernel — the static-camera
+    specialization of models/camera.py::generate_rays (identical formulas
+    and eps; layout documented at megakernel.py CAM_SIZE)."""
+    from crucible_tpu.ops.pallas import megakernel as mk
+    from crucible_tpu.utils import vec
+
+    lf, la = cp.look_from, cp.look_at
+    w_b = vec.unit(lf - la, eps=1e-12)
+    u_b = vec.unit(jnp.cross(cp.vup, w_b), eps=1e-12)
+    v_b = jnp.cross(w_b, u_b)
+    h = jnp.tan(cp.vfov_rad / 2.0)
+    viewport_h = 2.0 * h * cp.focus_dist
+    viewport_w = viewport_h * (width / height)
+    du = viewport_w * u_b / width
+    dv = viewport_h * (-v_b) / height
+    pixel00 = (
+        lf - cp.focus_dist * w_b - 0.5 * (width - 1) * du - 0.5 * (height - 1) * dv
+    )
+    defr = cp.focus_dist * jnp.tan(cp.defocus_angle_rad / 2.0)
+    defr = jnp.where(cp.defocus_angle_rad > 0.0, defr, 0.0)
+    zero3 = jnp.zeros((3,), jnp.float32)
+    lf_d = cp.look_from_d if cp.look_from_d is not None else zero3
+    la_d = cp.look_at_d if cp.look_at_d is not None else zero3
+    return jnp.concatenate(
+        [
+            pixel00, du, dv, lf, u_b, v_b, defr[None],
+            # Animated-camera slots 19-37 (megakernel.py layout).
+            la, lf_d, la_d, cp.vup,
+            viewport_h[None], viewport_w[None], cp.focus_dist[None],
+            jnp.asarray([width, height], jnp.float32),
+            jnp.asarray([0.5 * (width - 1), 0.5 * (height - 1)], jnp.float32),
+            jnp.zeros((10,), jnp.float32),
+        ]
+    ).astype(jnp.float32).reshape(1, mk.CAM_SIZE)
+
+
 def trace_persistent_mega(
     sd: SceneData,
     cp,
@@ -604,6 +705,7 @@ def trace_persistent_mega(
     swizzle: bool = True,
     row0=0,  # first image row this call renders (traced ok) — sharding
     band_height: int | None = None,  # rows this call renders (default: all)
+    sample_start=0,  # render samples [sample_start, spp) — chunked progress
 ):
     """Whole persistent render in ONE pallas kernel (see megakernel.py).
 
@@ -630,6 +732,7 @@ def trace_persistent_mega(
     if band_height is None:
         band_height = height
     row0 = jnp.asarray(row0, jnp.int32)
+    sample_start = jnp.asarray(sample_start, jnp.int32)
     band_pixels = width * band_height
     if swizzle:
         bw, bh = 32, mk.TILE // 32
@@ -644,7 +747,7 @@ def trace_persistent_mega(
         pix = (
             jnp.minimum(py, height - 1) * width + jnp.minimum(px, width - 1)
         ).reshape(1, r)
-        sample0 = jnp.where(valid, 0, jnp.int32(2**30)).reshape(1, r)
+        sample0 = jnp.where(valid, sample_start, jnp.int32(2**30)).reshape(1, r)
         p = jnp.arange(band_pixels, dtype=jnp.int32)
         ppx, ppy = p % width, p // width  # band-local row
         lane_of = (
@@ -656,39 +759,10 @@ def trace_persistent_mega(
         gpix = lane + row0 * width  # global flat pixel id
         valid = (lane < band_pixels) & (gpix < width * height)
         pix = jnp.minimum(gpix, width * height - 1).reshape(1, r)
-        sample0 = jnp.where(valid, 0, jnp.int32(2**30)).reshape(1, r)
+        sample0 = jnp.where(valid, sample_start, jnp.int32(2**30)).reshape(1, r)
         lane_of = None
 
-    # Camera constants — the static-camera specialization of
-    # models/camera.py::generate_rays (identical formulas and eps).
-    lf, la = cp.look_from, cp.look_at
-    w_b = vec.unit(lf - la, eps=1e-12)
-    u_b = vec.unit(jnp.cross(cp.vup, w_b), eps=1e-12)
-    v_b = jnp.cross(w_b, u_b)
-    h = jnp.tan(cp.vfov_rad / 2.0)
-    viewport_h = 2.0 * h * cp.focus_dist
-    viewport_w = viewport_h * (width / height)
-    du = viewport_w * u_b / width
-    dv = viewport_h * (-v_b) / height
-    pixel00 = (
-        lf - cp.focus_dist * w_b - 0.5 * (width - 1) * du - 0.5 * (height - 1) * dv
-    )
-    defr = cp.focus_dist * jnp.tan(cp.defocus_angle_rad / 2.0)
-    defr = jnp.where(cp.defocus_angle_rad > 0.0, defr, 0.0)
-    zero3 = jnp.zeros((3,), jnp.float32)
-    lf_d = cp.look_from_d if cp.look_from_d is not None else zero3
-    la_d = cp.look_at_d if cp.look_at_d is not None else zero3
-    cam = jnp.concatenate(
-        [
-            pixel00, du, dv, lf, u_b, v_b, defr[None],
-            # Animated-camera slots 19-37 (megakernel.py layout).
-            la, lf_d, la_d, cp.vup,
-            viewport_h[None], viewport_w[None], cp.focus_dist[None],
-            jnp.asarray([width, height], jnp.float32),
-            jnp.asarray([0.5 * (width - 1), 0.5 * (height - 1)], jnp.float32),
-            jnp.zeros((10,), jnp.float32),
-        ]
-    ).astype(jnp.float32).reshape(1, mk.CAM_SIZE)
+    cam = mega_cam_vector(cp, width, height)
 
     smem = jnp.stack(
         [
@@ -732,6 +806,7 @@ def trace_persistent_queue(
     lanes: int,
     use_pallas: bool = True,
     return_stats: bool = False,
+    sample_start=0,
 ):
     """Persistent wavefront with a STRIDED GLOBAL path schedule.
 
@@ -766,7 +841,8 @@ def trace_persistent_queue(
     table = make_sphere_table(sd) if fused else None
 
     lane = jnp.arange(r, dtype=jnp.int32)
-    q0 = lane - r  # "previous" path id; first issue advances to lane
+    # "previous" path id; first issue advances by r into [start, total).
+    q0 = lane - r + jnp.asarray(sample_start, jnp.int32) * num_pixels
     fb0 = jnp.zeros((num_pixels, 3), jnp.float32)
 
     state0 = (

@@ -70,8 +70,12 @@ F_ROOT1 = 128  # sphere hit used the far quadratic root
 
 
 def replay_supported(sd: SceneData) -> bool:
-    """Static predicate. The only unsupported corner is linearly-moving
-    triangle meshes (per-winner vertex motion lerp is not wired yet)."""
+    """Static predicate. Unsupported corners: linearly-moving triangle
+    meshes (per-winner vertex motion lerp is not wired) and exact per-ray
+    timeline evaluation (mid-shutter keyframes; the replay re-derives hit t
+    from the linear-shutter quadratic)."""
+    if sd.motion_exact:
+        return False
     return not (sd.animated and sd.tri_v0_d is not None)
 
 
@@ -161,6 +165,71 @@ def trace_record(
     state = (jnp.int32(0), o, d, alive0, idx0, flg0)
     *_, idxbuf, flgbuf = jax.lax.while_loop(cond, body, state)
     return idxbuf, flgbuf
+
+
+def trace_record_mega(
+    sd: SceneData,
+    cp: CameraParams,
+    width: int,
+    height: int,
+    pixel_ids,
+    sample_ids,
+    seed,
+    max_depth: int,
+    interpret: bool = False,
+):
+    """Fast record pass through the persistent MEGAKERNEL (record mode).
+
+    One lane per (pixel, sample) path; the kernel regenerates the primary
+    rays in-kernel (bit-identical pcg4d streams to generate_rays) and
+    streams per-bounce (winner id, flag word) records — the same bit layout
+    as :func:`trace_record`, at megakernel speed (per-tile exit instead of
+    the staged loop's global lockstep barrier). Requires
+    integrator.megakernel_supported(sd, cp).
+
+    Returns (idx (D, R) int32, flags (D, R) int32).
+    """
+    from crucible_tpu.ops.pallas import megakernel as mk
+
+    r = pixel_ids.shape[0]
+    r_pad = ((r + mk.TILE - 1) // mk.TILE) * mk.TILE
+    pix = jnp.zeros((r_pad,), jnp.int32).at[:r].set(pixel_ids.astype(jnp.int32))
+    # Padding lanes carry sample0 = 2^30: they never issue (their flag rows
+    # stay zero) and are sliced off below.
+    smp = jnp.full((r_pad,), jnp.int32(2**30)).at[:r].set(
+        sample_ids.astype(jnp.int32)
+    )
+    cam = integrator.mega_cam_vector(cp, width, height)
+    smem = jnp.stack(
+        [
+            jnp.int32(0),
+            jnp.asarray(seed, jnp.uint32).astype(jnp.int32),
+            jnp.int32(width),
+            jnp.asarray(max_depth, jnp.int32),
+            jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        ]
+    )
+    table = integrator.make_sphere_table(sd)
+    if sd.num_tris > 0:
+        tri_nodes, tris, mats = integrator.make_tri_tables(sd)
+    else:
+        tri_nodes = tris = mats = None
+    _, rec_idx, rec_flags = mk.run_megakernel_record(
+        smem,
+        pix.reshape(1, r_pad),
+        smp.reshape(1, r_pad),
+        cam,
+        table,
+        tri_nodes,
+        tris,
+        mats,
+        max_depth=int(max_depth),
+        animated=bool(sd.animated),
+        cam_animated=bool(cp.animated),
+        tri_leaf=sd.bvh_leaf_size,
+        interpret=interpret,
+    )
+    return rec_idx[:, :r], rec_flags[:, :r]
 
 
 def trace_replay(
@@ -350,28 +419,56 @@ def render_rays_replay(
     seed,
     max_depth: int,
     use_pallas: bool = False,
+    record_mode: str = "auto",
 ):
     """Primary rays + record + differentiable replay -> radiance (R, 3).
 
     The records are integer-valued (no tangents), so under ``jax.grad`` the
     record pass contributes nothing to the tape and the gradient is exactly
     the replay's detached-sampling estimator.
+
+    ``record_mode``: 'mega' (record-mode megakernel — the fast path),
+    'staged' (lockstep wavefront trace_record — the semantic reference), or
+    'auto' (mega when the scene supports it and a real accelerator is
+    present; interpret-mode pallas on CPU is too slow to default to).
     """
+    if record_mode == "auto":
+        record_mode = (
+            "mega"
+            if (
+                integrator.megakernel_supported(sd, cp)
+                and jax.default_backend() != "cpu"
+            )
+            else "staged"
+        )
     o, d, _ = generate_rays(cp, width, height, pixel_ids, sample_ids, seed)
     # The record pass produces only integers, but its interior (early-exit
     # while_loop, raw Pallas intersection) must not carry tangents at all —
     # while_loop has no linearization with unknown primals and the fused
     # kernel has no JVP rule. Detach every float input.
-    rec_idx, rec_flags = trace_record(
-        jax.lax.stop_gradient(sd),
-        jax.lax.stop_gradient(o),
-        jax.lax.stop_gradient(d),
-        pixel_ids,
-        sample_ids,
-        seed,
-        max_depth,
-        use_pallas=use_pallas,
-    )
+    if record_mode == "mega":
+        rec_idx, rec_flags = trace_record_mega(
+            jax.lax.stop_gradient(sd),
+            jax.lax.stop_gradient(cp),
+            width,
+            height,
+            pixel_ids,
+            sample_ids,
+            seed,
+            max_depth,
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        rec_idx, rec_flags = trace_record(
+            jax.lax.stop_gradient(sd),
+            jax.lax.stop_gradient(o),
+            jax.lax.stop_gradient(d),
+            pixel_ids,
+            sample_ids,
+            seed,
+            max_depth,
+            use_pallas=use_pallas,
+        )
     return trace_replay(
         sd, o, d, pixel_ids, sample_ids, seed, max_depth, rec_idx, rec_flags
     )

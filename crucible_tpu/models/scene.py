@@ -238,6 +238,32 @@ class SceneData:
     tri_v1_d: jnp.ndarray = None
     tri_v2_d: jnp.ndarray = None
 
+    # Exact per-ray-time timeline tracks (None unless motion_exact): set when
+    # a keyframe lands INSIDE the shutter window, where the linear-shutter
+    # lerp of endpoint snapshots deviates from the reference's per-ray
+    # timeline evaluation (timeline/mod.rs:233-263). The integrator then
+    # evaluates the piecewise-linear tracks at each ray's absolute time
+    # t = motion_t0 + w * (motion_t1 - motion_t0) via timeline.eval_translate
+    # / eval_scale. Sphere radius rides scale component 0.
+    sph_tr_t0: jnp.ndarray = None  # (N, Kt)
+    sph_tr_t1: jnp.ndarray = None
+    sph_tr_delta: jnp.ndarray = None  # (N, Kt, 3)
+    sph_tr_init: jnp.ndarray = None  # (N, 3)
+    sph_sc_t0: jnp.ndarray = None  # (N, Ks)
+    sph_sc_t1: jnp.ndarray = None
+    sph_sc_from: jnp.ndarray = None  # (N, Ks, 3)
+    sph_sc_to: jnp.ndarray = None
+    tri_tr_t0: jnp.ndarray = None  # (3M, Kt) — vertex-major [v0 of all tris..]
+    tri_tr_t1: jnp.ndarray = None
+    tri_tr_delta: jnp.ndarray = None  # (3M, Kt, 3)
+    tri_tr_init: jnp.ndarray = None  # (3M, 3)
+    tri_sc_t0: jnp.ndarray = None
+    tri_sc_t1: jnp.ndarray = None
+    tri_sc_from: jnp.ndarray = None
+    tri_sc_to: jnp.ndarray = None
+    motion_t0: jnp.ndarray = None  # () shutter-open absolute time
+    motion_t1: jnp.ndarray = None  # () shutter-close
+
     # --- static metadata ---------------------------------------------------
     sky_kind: int = struct.field(pytree_node=False, default=sky_mod.DEFAULT)
     num_spheres: int = struct.field(pytree_node=False, default=0)
@@ -245,6 +271,11 @@ class SceneData:
     use_bvh: bool = struct.field(pytree_node=False, default=False)
     bvh_leaf_size: int = struct.field(pytree_node=False, default=4)
     animated: bool = struct.field(pytree_node=False, default=False)
+    # Exact per-ray-time evaluation engaged (see track fields above).
+    motion_exact: bool = struct.field(pytree_node=False, default=False)
+    # Exact mode covers triangles only on the brute-force path; BVH-mesh
+    # scenes with mid-shutter keys keep the linear model (warned at build).
+    tri_exact: bool = struct.field(pytree_node=False, default=False)
 
 
 def _pad_to(n: int, mult: int) -> int:
@@ -608,6 +639,24 @@ class Scene:
         if self._cache is not None and self._cache_key == key:
             return self._cache
 
+        def _mid_shutter(tl) -> bool:
+            """A segment boundary strictly inside the shutter window means
+            the trajectory changes slope mid-shutter — the linear lowering
+            would deviate from per-ray timeline evaluation."""
+            b = tl.boundary_times()
+            return bool(np.any((b > t_open + 1e-9) & (b < t_close - 1e-9)))
+
+        sphere_exact = animated and any(
+            isinstance(e, Sphere) and e.timeline is not None and _mid_shutter(e.timeline)
+            for e in self.elements
+        )
+        tri_mid = animated and any(
+            isinstance(e, Triangle)
+            and e.timelines is not None
+            and any(_mid_shutter(t) for t in e.timelines)
+            for e in self.elements
+        )
+
         def sphere_geom(s: Sphere):
             if animated and s.timeline is not None:
                 ca = s.timeline.position_at(t_open)
@@ -700,6 +749,100 @@ class Scene:
                 perm=np.zeros((0,), np.int32),
             )
 
+        # --- exact per-ray-time tracks (mid-shutter keyframes) --------------
+        tri_exact = tri_mid and not use_bvh
+        motion_exact = sphere_exact or tri_exact
+        if tri_mid and use_bvh:
+            import sys
+
+            print(
+                "crucible_tpu: WARNING: mesh keyframe inside the shutter "
+                "window; BVH meshes keep the linear-shutter motion model "
+                "(exact per-ray evaluation covers spheres and small "
+                "brute-force meshes only)",
+                file=sys.stderr,
+            )
+        track_fields = {}
+        if motion_exact:
+            import sys
+
+            from crucible_tpu.models import timeline as tl_mod
+
+            print(
+                "crucible_tpu: keyframe inside the shutter window -> exact "
+                "per-ray timeline evaluation engaged (staged integrator "
+                "path; megakernel/fused/replay schedules do not apply)",
+                file=sys.stderr,
+            )
+
+            def _tl_of(el):
+                if isinstance(el, Sphere):
+                    return el.timeline or tl_mod.TransformTimeline(
+                        init_pos=tuple(el.center), init_scale=float(el.radius)
+                    )
+                raise TypeError(el)
+
+            s_tr, s_sc, s_init = [], [], []
+            for s in spheres:
+                tl = _tl_of(s)
+                s_tr.append(tl.lower_translate())
+                s_sc.append(tl.lower_scale())
+                s_init.append(tl.init_pos)
+            empty_tr = (
+                np.zeros((0,), np.float32),
+                np.zeros((0,), np.float32),
+                np.zeros((0, 3), np.float32),
+            )
+            empty_sc = tl_mod.TransformTimeline().lower_scale()
+            while len(s_tr) < n_pad:
+                s_tr.append(empty_tr)
+                s_sc.append(empty_sc)
+                s_init.append((0.0, 0.0, 0.0))
+            a0, a1, adel = tl_mod.pad_tracks(s_tr)
+            b0, b1, bf, bt = tl_mod.pad_scale_tracks(s_sc)
+            track_fields.update(
+                sph_tr_t0=jnp.asarray(a0),
+                sph_tr_t1=jnp.asarray(a1),
+                sph_tr_delta=jnp.asarray(adel),
+                sph_tr_init=jnp.asarray(np.asarray(s_init, np.float32)),
+                sph_sc_t0=jnp.asarray(b0),
+                sph_sc_t1=jnp.asarray(b1),
+                sph_sc_from=jnp.asarray(bf),
+                sph_sc_to=jnp.asarray(bt),
+            )
+            if tri_exact and m:
+                m_rows = v0.shape[0]  # padded brute-force count
+                t_tr, t_sc, t_init = [], [], []
+                # Vertex-major: rows [vi*m_rows + k] = vertex vi of tri k.
+                for vi in range(3):
+                    for k in range(m_rows):
+                        if k < m and vis_tris[k].timelines is not None:
+                            tl = vis_tris[k].timelines[vi]
+                        else:
+                            base = (v0, v1, v2)[vi][k]
+                            tl = tl_mod.TransformTimeline(
+                                init_pos=tuple(float(x) for x in base)
+                            )
+                        t_tr.append(tl.lower_translate())
+                        t_sc.append(tl.lower_scale())
+                        t_init.append(tl.init_pos)
+                c0, c1, cdel = tl_mod.pad_tracks(t_tr)
+                d0, d1, df, dt = tl_mod.pad_scale_tracks(t_sc)
+                track_fields.update(
+                    tri_tr_t0=jnp.asarray(c0),
+                    tri_tr_t1=jnp.asarray(c1),
+                    tri_tr_delta=jnp.asarray(cdel),
+                    tri_tr_init=jnp.asarray(np.asarray(t_init, np.float32)),
+                    tri_sc_t0=jnp.asarray(d0),
+                    tri_sc_t1=jnp.asarray(d1),
+                    tri_sc_from=jnp.asarray(df),
+                    tri_sc_to=jnp.asarray(dt),
+                )
+            track_fields.update(
+                motion_t0=jnp.asarray(t_open, jnp.float32),
+                motion_t1=jnp.asarray(t_close, jnp.float32),
+            )
+
         if not tables.mat_rows:  # empty scene still needs one material row
             tables.material(Lambertian.from_color((0.5, 0.5, 0.5)))
 
@@ -744,6 +887,9 @@ class Scene:
             use_bvh=use_bvh,
             bvh_leaf_size=leaf_size,
             animated=animated,
+            motion_exact=motion_exact,
+            tri_exact=tri_exact and m > 0,
+            **track_fields,
         )
         self._cache = sd
         self._cache_key = key

@@ -203,6 +203,19 @@ class TransformTimeline:
         )
 
 
+    def boundary_times(self) -> np.ndarray:
+        """All segment boundary times (t0 and t1 of every lowered segment,
+        init sentinels excluded) — the instants where the piecewise-linear
+        trajectory changes slope. Used by scene.build to detect keyframes
+        inside a frame's shutter window (where the linear-shutter lowering
+        deviates from the reference's per-ray timeline evaluation,
+        timeline/mod.rs:233-263) and switch to exact per-ray evaluation."""
+        ts = []
+        for arrs in (self.lower_translate()[:2], self.lower_scale()[:2]):
+            for a in arrs:
+                ts.extend(float(x) for x in a if x > _INIT_TIME)
+        return np.unique(np.asarray(ts, np.float64))
+
     # --- host-side scalar evaluation (NumPy) -------------------------------
     def position_at(self, t: float) -> np.ndarray:
         """Evaluate the translate track at time t -> (3,) (host NumPy).

@@ -198,6 +198,7 @@ def _kernel(
     table_ref,  # (N, C_IN) f32 sphere attribute table
     *rest,  # [cbounds (K,8) if n_chunks] + [tnodes, tris, mats if
     #          n_tri_nodes] + [acc_ref out (3, TILE)]
+    #          + [rec_idx_ref, rec_flg_ref (rec_depth, TILE) if rec_depth]
     animated: bool,
     t_min,
     n_chunks: int = 0,
@@ -205,13 +206,23 @@ def _kernel(
     n_tri_nodes: int = 0,
     tri_leaf: int = 4,
     n_mats: int = 0,
+    rec_depth: int = 0,
 ):
     rest = list(rest)
     cbounds_ref = rest.pop(0) if n_chunks else None
     if n_tri_nodes:
         tnodes_ref, tris_ref, mats_ref = rest[0], rest[1], rest[2]
         rest = rest[3:]
-    (acc_ref,) = rest
+    if rec_depth:
+        # RECORD MODE (models/replay.py): each lane traces exactly ONE
+        # (pixel, sample) path — sample0 holds the sample id and the loop
+        # issues once — while per-bounce discrete decisions (winner id +
+        # flag word) stream to the rec refs. The fast forward then feeds
+        # the O(R*depth) differentiable replay, replacing the staged
+        # trace_record (measured 2.1 vs 4.9 Mrays/s at the grad config).
+        acc_ref, rec_idx_ref, rec_flg_ref = rest
+    else:
+        (acc_ref,) = rest
     spp = smem_ref[0]
     seed = smem_ref[1]
     width = smem_ref[2]
@@ -240,12 +251,19 @@ def _kernel(
                             jnp.broadcast_to(seed, pix.shape))
         return _unit_f32(x), _unit_f32(y), _unit_f32(z), _unit_f32(w)
 
+    # Record mode: one path per lane — the issue limit is per-lane
+    # (sample0 + 1; padding lanes carry sample0 = 2^30 and never issue).
+    if rec_depth:
+        rec_limit = jnp.minimum(
+            sample0_ref[:] + 1, jnp.int32(2**30)
+        )  # (1, T)
+
     def body(state):
-        sample_i, alive_m, bounce, ox, oy, oz, dx, dy, dz, tx, ty, tz, ax, ay, az = state
+        sample_i, alive_m, bounce, it, ox, oy, oz, dx, dy, dz, tx, ty, tz, ax, ay, az = state
         alive = alive_m > 0  # loop-carried as int32: Mosaic can't carry i1 vectors
 
         # --- lane-local regeneration (integrator.trace_persistent) --------
-        issue = (~alive) & (sample_i < spp)
+        issue = (~alive) & (sample_i < (rec_limit if rec_depth else spp))
         ux, uy, ud1, ud2 = uniform4(sample_i, STREAM_PIXEL_JITTER)
         if cam_animated:
             # Re-derive the camera basis PER RAY at its shutter fraction
@@ -467,7 +485,10 @@ def _kernel(
                 return s[0] < n_tri_nodes
 
             def trav_body(s):
-                c, tb, tnx, tny, tnz, tmid = s
+                if rec_depth:
+                    c, tb, tnx, tny, tnz, tmid, ttid = s
+                else:
+                    c, tb, tnx, tny, tnz, tmid = s
                 nrow = tnodes_ref[pl.ds(c, 1), :]  # (1, 16)
                 t0x = (nrow[0, 0] - ox) * ivx
                 t1x = (nrow[0, 3] - ox) * ivx
@@ -490,7 +511,10 @@ def _kernel(
                 miss = nrow[0, 8].astype(jnp.int32)
 
                 def leaf_fn(carry):
-                    tb2, nx2, ny2, nz2, md2 = carry
+                    if rec_depth:
+                        tb2, nx2, ny2, nz2, md2, ti2 = carry
+                    else:
+                        tb2, nx2, ny2, nz2, md2 = carry
                     for li in range(tri_leaf):
                         pid = jnp.minimum(first + li, n_tris_total - 1)
                         tr = tris_ref[pl.ds(pid, 1), :]  # (1, 16)
@@ -528,19 +552,32 @@ def _kernel(
                         ny2 = jnp.where(ok, tr[0, 10], ny2)
                         nz2 = jnp.where(ok, tr[0, 11], nz2)
                         md2 = jnp.where(ok, tr[0, 12], md2)
+                        if rec_depth:
+                            ti2 = jnp.where(ok, pid.astype(jnp.float32), ti2)
+                    if rec_depth:
+                        return tb2, nx2, ny2, nz2, md2, ti2
                     return tb2, nx2, ny2, nz2, md2
 
-                tb, tnx, tny, tnz, tmid = jax.lax.cond(
-                    anyhit & (count > 0), leaf_fn, lambda cst: cst,
-                    (tb, tnx, tny, tnz, tmid),
+                if rec_depth:
+                    carry0 = (tb, tnx, tny, tnz, tmid, ttid)
+                else:
+                    carry0 = (tb, tnx, tny, tnz, tmid)
+                carry1 = jax.lax.cond(
+                    anyhit & (count > 0), leaf_fn, lambda cst: cst, carry0
                 )
                 c_next = jnp.where(anyhit & (count == 0), c + 1, miss)
-                return c_next, tb, tnx, tny, tnz, tmid
+                return (c_next,) + carry1
 
-            trav0 = (jnp.int32(0), t, zeros, zeros, zeros, zeros)
-            _, tb, tnx, tny, tnz, tmid = jax.lax.while_loop(
-                trav_cond, trav_body, trav0
-            )
+            if rec_depth:
+                trav0 = (jnp.int32(0), t, zeros, zeros, zeros, zeros, zeros)
+                _, tb, tnx, tny, tnz, tmid, ttid = jax.lax.while_loop(
+                    trav_cond, trav_body, trav0
+                )
+            else:
+                trav0 = (jnp.int32(0), t, zeros, zeros, zeros, zeros)
+                _, tb, tnx, tny, tnz, tmid = jax.lax.while_loop(
+                    trav_cond, trav_body, trav0
+                )
             is_tri = tb < t  # strict: intersect_scene's tie rule
             t = tb
             hit = t[0:1, :] < BIG
@@ -691,6 +728,48 @@ def _kernel(
         ) & ~is_emis
 
         cont = alive & hit & scattered & (bounce + 1 < max_depth)
+
+        if rec_depth:
+            # --- record per-bounce decisions (models/replay.py bit layout;
+            # the F_* constants there must stay in lockstep) ---------------
+            # Which quadratic root the winner used — same per-winner math as
+            # trace_record/trace_replay so the bit and the replayed t are
+            # self-consistent (src/objects/sphere.rs:84-94).
+            r_ocx = wcx - ox
+            r_ocy = wcy - oy
+            r_ocz = wcz - oz
+            r_h = dx * r_ocx + dy * r_ocy + dz * r_ocz
+            r_c = r_ocx * r_ocx + r_ocy * r_ocy + r_ocz * r_ocz - wr * wr
+            r_disc = jnp.maximum(r_h * r_h - a_q * r_c, 0.0)
+            r_root0 = (r_h - jnp.sqrt(r_disc)) * inv_a
+            root1_bit = ~(r_root0 > t_min)
+
+            hit_rec = alive & hit
+            if n_tri_nodes:
+                is_tri_rec = is_tri
+                win_id = jnp.where(is_tri, ttid.astype(jnp.int32), idx)
+            else:
+                is_tri_rec = hit_rec & ~hit_rec  # constant-false i1 vector
+                win_id = idx
+
+            def _bits(b, m):
+                return jnp.where(b, jnp.int32(m), jnp.int32(0))
+
+            flags_rec = (
+                _bits(alive, 1)
+                | _bits(hit_rec, 2)
+                | _bits(is_tri_rec & hit_rec, 4)
+                | _bits(hit_rec & scattered, 8)
+                | _bits(front, 16)
+                | _bits(reflect_choice, 32)
+                | _bits(degenerate, 64)
+                | _bits(root1_bit & ~is_tri_rec, 128)
+            )
+            rec_idx_ref[pl.ds(it, 1), :] = jnp.where(
+                hit_rec, win_id, jnp.int32(0)
+            )
+            rec_flg_ref[pl.ds(it, 1), :] = flags_rec
+
         tx = jnp.where(cont, tx * atr, tx)
         ty = jnp.where(cont, ty * atg, ty)
         tz = jnp.where(cont, tz * atb, tz)
@@ -702,25 +781,32 @@ def _kernel(
         dz = jnp.where(cont, ndz, dz)
         bounce = bounce + 1
         cont_m = jnp.where(cont, 1, 0).astype(jnp.int32)
-        return (sample_i, cont_m, bounce, ox, oy, oz, dx, dy, dz, tx, ty, tz, ax, ay, az)
+        return (sample_i, cont_m, bounce, it + 1, ox, oy, oz, dx, dy, dz, tx, ty, tz, ax, ay, az)
 
     def cond(state):
         sample_i, alive_m = state[0], state[1]
-        pending = jnp.where(sample_i < spp, 1, alive_m)
+        pending = jnp.where(
+            sample_i < (rec_limit if rec_depth else spp), 1, alive_m
+        )
         return jnp.max(pending) > 0
 
+    if rec_depth:
+        # Rows past the tile's death stay zero (F_ALIVE clear).
+        rec_idx_ref[:] = jnp.zeros((rec_depth, TILE), jnp.int32)
+        rec_flg_ref[:] = jnp.zeros((rec_depth, TILE), jnp.int32)
     sample00 = sample0_ref[:]
     state0 = (
         sample00,
         jnp.zeros((1, TILE), jnp.int32),  # alive mask
         jnp.zeros((1, TILE), jnp.int32),
+        jnp.int32(0),  # loop iteration (= bounce row in record mode)
         zeros, zeros, zeros,  # o
         zeros, zeros, jnp.ones((1, TILE), jnp.float32),  # d (unit-ish filler)
         zeros, zeros, zeros,  # throughput (dead)
         zeros, zeros, zeros,  # acc
     )
     out = jax.lax.while_loop(cond, body, state0)
-    ax, ay, az = out[12], out[13], out[14]
+    ax, ay, az = out[13], out[14], out[15]
     acc_ref[0:1, :] = ax
     acc_ref[1:2, :] = ay
     acc_ref[2:3, :] = az
@@ -804,3 +890,95 @@ def run_megakernel(
         interpret=interpret,
     )(smem, pix, sample0, cam, table, *extra_in)
     return acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_depth", "animated", "cam_animated", "tri_leaf", "t_min", "interpret",
+    ),
+)
+def run_megakernel_record(
+    smem,  # (8,) int32 [unused, seed, width, max_depth, 0...]
+    pix,  # (1, R) int32 pixel id per LANE (one (pixel, sample) path each)
+    sample0,  # (1, R) int32 sample id per lane (2^30 for padding lanes)
+    cam,  # (1, CAM_SIZE) f32
+    table,  # (N, C_IN) f32 sphere attribute table
+    tri_nodes=None,
+    tris=None,
+    mats=None,
+    *,
+    max_depth: int,  # STATIC here — sizes the record buffers
+    animated: bool,
+    cam_animated: bool = False,
+    tri_leaf: int = 4,
+    t_min=1.0e-3,
+    interpret: bool = False,
+):
+    """RECORD-MODE megakernel dispatch (models/replay.py's fast forward).
+
+    Each lane traces exactly one (pixel, sample) path; per-bounce discrete
+    decisions stream to HBM. Returns (radiance (3, R), rec_idx (D, R) int32,
+    rec_flags (D, R) int32) — records bit-compatible with trace_record.
+    Cluster culling is not supported here (records hold UNPERMUTED ids).
+    """
+    r = pix.shape[1]
+    n = table.shape[0]
+    assert r % TILE == 0, f"R={r} not a multiple of {TILE}"
+    assert table.shape[1] == C_IN and cam.shape == (1, CAM_SIZE)
+    n_tri_nodes = 0
+    n_mats = 0
+    extra_in = []
+    extra_specs = []
+    if tri_nodes is not None:
+        n_tri_nodes = tri_nodes.shape[0]
+        n_mats = mats.shape[0]
+        extra_in += [tri_nodes, tris, mats]
+        extra_specs += [
+            pl.BlockSpec(
+                (n_tri_nodes, 16), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tris.shape[0], 16), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((n_mats, 24), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    # The loop's depth gate reads smem[3]; the record rows are sized by the
+    # static max_depth — they must agree or records would run off the block.
+    smem = smem.at[3].set(jnp.int32(max_depth))
+
+    kernel = functools.partial(
+        _kernel, animated=animated, t_min=np.float32(t_min),
+        n_chunks=0, cam_animated=cam_animated,
+        n_tri_nodes=n_tri_nodes, tri_leaf=tri_leaf, n_mats=n_mats,
+        rec_depth=max_depth,
+    )
+    grid = (r // TILE,)
+    acc, rec_idx, rec_flg = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CAM_SIZE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, C_IN), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        + extra_specs,
+        out_specs=[
+            pl.BlockSpec((3, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (max_depth, TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (max_depth, TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, r), jnp.float32),
+            jax.ShapeDtypeStruct((max_depth, r), jnp.int32),
+            jax.ShapeDtypeStruct((max_depth, r), jnp.int32),
+        ],
+        interpret=interpret,
+    )(smem, pix, sample0, cam, table, *extra_in)
+    return acc, rec_idx, rec_flg

@@ -338,3 +338,50 @@ class TestAnimatedScenes:
             return np.nonzero(cols > 0.01)[0].max()
 
         assert rightmost_red(blurred) > rightmost_red(sharp) + 8
+
+
+class TestProgressChunking:
+    def test_chunked_equals_single_dispatch(self):
+        """progress=True renders in sample chunks; the sum must equal the
+        single dispatch up to f32 summation order."""
+        from crucible_tpu.models import demo, render
+
+        sc = demo.smoke_scene(width=24)
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
+        reports = []
+        one = render.render_image_persistent(
+            sd, cp, w, h, 9, 6, 3, schedule="pixel"
+        )
+        chunked = render.render_image_persistent(
+            sd, cp, w, h, 9, 6, 3, schedule="pixel",
+            progress=lambda d, t, s: reports.append((d, t)),
+        )
+        np.testing.assert_allclose(chunked, one, rtol=1e-5, atol=1e-6)
+        assert reports[-1][0] == 9 and reports[-1][1] == 9
+        assert len(reports) >= 2  # intra-render progress actually reported
+
+    def test_queue_sample_start(self):
+        from crucible_tpu.models import demo, render
+
+        sc = demo.smoke_scene(width=24)
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
+        one = render.render_image_persistent(sd, cp, w, h, 8, 6, 3, schedule="queue")
+        chunked = render.render_image_persistent(
+            sd, cp, w, h, 8, 6, 3, schedule="queue", progress=lambda *a: None
+        )
+        np.testing.assert_allclose(chunked, one, rtol=1e-5, atol=1e-6)
+
+    def test_queue_overflow_guard_raises(self):
+        from crucible_tpu.models import demo, render
+
+        sc = demo.smoke_scene(width=24)
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        with pytest.raises(ValueError, match="overflow int32"):
+            render.render_image_persistent(
+                sd, cp, 3840, 2160, 500, 6, 3, schedule="queue"
+            )

@@ -206,3 +206,92 @@ class TestReplayGradientsFinite:
         for k, leaf in grads.items():
             for arr in jax.tree_util.tree_leaves(leaf):
                 assert bool(jnp.isfinite(arr).all()), f"non-finite grad in {k}"
+
+
+class TestMegaRecordMode:
+    """Record-mode megakernel (interpret on CPU): records must be
+    semantically equivalent to the staged trace_record — identical pcg4d
+    streams, decisions equal except ulp silhouette flips — and the replay
+    over them must reproduce the forward image statistically."""
+
+    def _records(self, sc, width, spp=2, depth=6, seed=3):
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
+        p = w * h
+        pix = jnp.tile(jnp.arange(p, dtype=jnp.uint32), spp)
+        smp = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), p)
+        seed = jnp.uint32(seed)
+        o, d, _ = generate_rays(cp, w, h, pix, smp, seed)
+        ri_s, rf_s = replay_mod.trace_record(sd, o, d, pix, smp, seed, depth)
+        ri_m, rf_m = replay_mod.trace_record_mega(
+            sd, cp, w, h, pix, smp, seed, depth, interpret=True
+        )
+        return sd, cp, (o, d, pix, smp, seed), map(np.asarray, (ri_s, rf_s, ri_m, rf_m))
+
+    @pytest.mark.parametrize("mk", [demo.book1_end_scene, demo.load_teapot])
+    def test_records_match_staged(self, mk):
+        sc = mk(width=32)
+        sd, cp, rays, (ri_s, rf_s, ri_m, rf_m) = self._records(sc, 32)
+        ess = replay_mod.F_ALIVE | replay_mod.F_HIT | replay_mod.F_SCAT
+        # Decisions equal except ulp silhouette flips (<1% of lanes).
+        assert ((rf_s & ess) == (rf_m & ess)).mean() > 0.99
+        hit_both = ((rf_s & rf_m) & replay_mod.F_HIT) > 0
+        assert (ri_s[hit_both] == ri_m[hit_both]).mean() > 0.99
+        assert (rf_s[hit_both] == rf_m[hit_both]).mean() > 0.99
+
+    def test_replay_over_mega_records_matches_image(self):
+        sc = demo.book1_end_scene(width=32)
+        depth = 8
+        sd, cp, (o, d, pix, smp, seed), (ri_s, rf_s, ri_m, rf_m) = self._records(
+            sc, 32, depth=depth
+        )
+        rad_m = np.asarray(
+            replay_mod.trace_replay(
+                sd, o, d, pix, smp, seed, depth,
+                jnp.asarray(ri_m), jnp.asarray(rf_m),
+            )
+        )
+        rad_fwd = np.asarray(
+            integrator.trace(sd, o, d, pix, smp, seed, depth)
+        )
+        # Ulp-flipped lanes take different (valid) sample paths; compare in
+        # aggregate, and exactly on the >97% of lanes whose SEMANTIC record
+        # content matches (bits that don't reach the replay's radiance —
+        # front/root1 of absorbed rows, winner ids of miss rows — are
+        # don't-cares the two kernels fill differently).
+        def canon(rf, ri):
+            hit = (rf & replay_mod.F_HIT) > 0
+            scat = (rf & replay_mod.F_SCAT) > 0
+            mask = (
+                (replay_mod.F_ALIVE | replay_mod.F_HIT | replay_mod.F_SCAT)
+                | np.where(hit, replay_mod.F_TRI, 0)
+                | np.where(
+                    scat,
+                    replay_mod.F_FRONT
+                    | replay_mod.F_ROOT1
+                    | replay_mod.F_REFL
+                    | replay_mod.F_DEGEN,
+                    0,
+                )
+            )
+            return rf & mask, np.where(hit, ri, 0)
+
+        cs = canon(np.asarray(rf_s), np.asarray(ri_s))
+        cm = canon(np.asarray(rf_m), np.asarray(ri_m))
+        same = np.all((cs[0] == cm[0]) & (cs[1] == cm[1]), axis=0)
+        assert same.mean() > 0.97
+        # Replay re-derives t per winner (different f32 association than the
+        # trace's (R,N) matmul), so even identical decisions drift ulps —
+        # same convention as TestReplayMatchesForward: means tight, lanes
+        # loose.
+        close = np.isclose(rad_m, rad_fwd, rtol=1e-3, atol=1e-3).all(axis=-1)
+        assert close[same].mean() > 0.98
+        np.testing.assert_allclose(rad_m.mean(), rad_fwd.mean(), atol=5e-3)
+
+    def test_flag_bits_in_lockstep_with_kernel(self):
+        """The kernel packs flag bits with hard-coded masks; they must match
+        the replay's F_* layout."""
+        assert (replay_mod.F_ALIVE, replay_mod.F_HIT, replay_mod.F_TRI,
+                replay_mod.F_SCAT, replay_mod.F_FRONT, replay_mod.F_REFL,
+                replay_mod.F_DEGEN, replay_mod.F_ROOT1) == (1, 2, 4, 8, 16, 32, 64, 128)
