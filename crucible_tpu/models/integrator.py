@@ -346,9 +346,15 @@ def fused_supported(sd: SceneData) -> bool:
     scenes (static or linearly-moving) whose textures are
     solid/checker-of-solid (no image lookups — those need uv + texel
     gathers). The equirect sky image is fine (sampled outside the kernel).
-    Exact per-ray-time track evaluation (mid-shutter keyframes) stays on
+    Exact per-ray-time track evaluation (mid-shutter keyframes) and nested
+    checkers (the fused table bakes one level of checker colors) stay on
     the jnp path."""
-    return sd.num_tris == 0 and len(sd.tex.images) == 0 and not sd.motion_exact
+    return (
+        sd.num_tris == 0
+        and len(sd.tex.images) == 0
+        and sd.tex.max_nest <= 1
+        and not sd.motion_exact
+    )
 
 
 def bounce_step_fused(sd: SceneData, table, o, d, pixel_ids, sample_ids, bounce, seed):
@@ -594,8 +600,28 @@ def megakernel_supported(sd: SceneData, cp) -> bool:
     tris_ok = sd.num_tris == 0 or (sd.use_bvh and not sd.animated)
     return (
         len(sd.tex.images) == 0
+        and sd.tex.max_nest <= 1
         and sd.sky_kind == sky_mod.DEFAULT
         and tris_ok
+        and not sd.motion_exact
+        and not getattr(cp, "motion_exact", False)
+    )
+
+
+def megakernel_record_supported(sd: SceneData, cp) -> bool:
+    """Static predicate for the RECORD-MODE megakernel (replay.py).
+
+    Wider than :func:`megakernel_supported`: path DECISIONS (winner ids,
+    scatter branches, termination) never depend on albedo or sky radiance —
+    Lambertian/metal/dielectric directions and Russian-roulette use only
+    geometry + material scalars — so image textures, equirect skyboxes and
+    nested checkers are all fine here; the decision records feed the jnp
+    replay, whose XLA gathers handle the texel/sky lookups. Only the
+    geometry stage's limits remain: static BVH triangles, no exact per-ray
+    timeline evaluation."""
+    tris_ok = sd.num_tris == 0 or (sd.use_bvh and not sd.animated)
+    return (
+        tris_ok
         and not sd.motion_exact
         and not getattr(cp, "motion_exact", False)
     )
@@ -617,6 +643,9 @@ def make_tri_tables(sd: SceneData):
         ],
         axis=1,
     )
+    # Pad by one leaf of zero rows: the kernel's batched leaf test reads a
+    # full tri_leaf block at any leaf start (zero rows fail det_ok).
+    tris = jnp.pad(tris, ((0, sd.bvh_leaf_size), (0, 0)))
     k = sd.bvh_min.shape[0]
     tri_nodes = jnp.concatenate(
         [

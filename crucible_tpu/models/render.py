@@ -130,9 +130,12 @@ def render_image_persistent(
     wavefront. The production TPU path.
 
     ``schedule``: 'mega' (all-in-VMEM megakernel with per-tile exit — the
-    fast path for sphere scenes), 'pixel' (lane-per-pixel staged loop),
-    'queue' (strided global path schedule), or 'auto' (mega when the scene
-    supports it, else pixel).
+    fast path for sphere scenes), 'record' (record-mode megakernel for the
+    geometry/decisions + jnp replay for the shading — the fast path for
+    image textures / equirect skies / nested checkers the megakernel's
+    in-VMEM shading can't take), 'pixel' (lane-per-pixel staged loop),
+    'queue' (strided global path schedule), or 'auto' (mega, else record,
+    else pixel).
 
     ``progress``: None (single dispatch — bit-exact reference), True
     (render in ~8 sample chunks, printing per-chunk progress to stderr —
@@ -142,9 +145,18 @@ def render_image_persistent(
     the same sample set in a different f32 order than one dispatch."""
     auto = schedule == "auto"
     if auto:
-        schedule = (
-            "mega" if integrator.megakernel_supported(sd, cp) else "pixel"
-        )
+        from crucible_tpu.models import replay as replay_mod
+
+        if integrator.megakernel_supported(sd, cp):
+            schedule = "mega"
+        elif (
+            integrator.megakernel_record_supported(sd, cp)
+            and replay_mod.replay_supported(sd)
+            and jax.default_backend() != "cpu"  # interpret-mode is too slow
+        ):
+            schedule = "record"
+        else:
+            schedule = "pixel"
     if schedule == "queue":
         # int32 path ids (pixel * spp); the static guard inside
         # trace_persistent_queue vanishes once spp is traced, so guard here
@@ -177,6 +189,15 @@ def render_image_persistent(
     # runs the brute-force megakernel; clustering stays available (and
     # bit-exact-tested) via trace_persistent_mega's cluster_* args for
     # many-sphere scenes where skipping wins.
+    if schedule == "record":
+        from crucible_tpu.models import replay as replay_mod
+
+        report = progress if callable(progress) else None
+        fb = replay_mod.render_record_replay(
+            sd, cp, width, height, samples, max_depth, seed, progress=report
+        )
+        return np.asarray(fb).reshape(height, width, 3) / np.float32(samples)
+
     if progress is None:
         bounds = [(0, samples)]
         report = None

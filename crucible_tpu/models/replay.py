@@ -41,6 +41,8 @@ and triangle-mesh hits via per-winner Möller–Trumbore recomputation.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -75,6 +77,8 @@ def replay_supported(sd: SceneData) -> bool:
     timeline evaluation (mid-shutter keyframes; the replay re-derives hit t
     from the linear-shutter quadratic)."""
     if sd.motion_exact:
+        return False
+    if sd.tex.max_nest > 1:  # replay resolves one checker level only
         return False
     return not (sd.animated and sd.tri_v0_d is not None)
 
@@ -242,8 +246,15 @@ def trace_replay(
     max_depth: int,
     rec_idx,
     rec_flags,
+    early_exit: bool = False,
 ):
-    """Differentiable O(R * depth) replay of recorded decisions -> (R, 3)."""
+    """Differentiable O(R * depth) replay of recorded decisions -> (R, 3).
+
+    ``early_exit=True`` walks only the record rows that still carry a live
+    lane (a while_loop over the row prefix — forward-only, since while has
+    no transpose rule). Worth ~depth/mean-path-length on deep-budget scenes
+    (depth 50 with ~3-bounce means); the gradient path keeps the static
+    scan."""
     r = o.shape[0]
     table = integrator.make_sphere_table(sd)  # (N, 32), differentiable
     if sd.num_tris > 0:
@@ -402,11 +413,95 @@ def trace_replay(
 
     thr0 = jnp.ones((r, 3), jnp.float32)
     rad0 = jnp.zeros((r, 3), jnp.float32)
+    if early_exit:
+        # Alive rows form a prefix (the record loop stops when every lane
+        # died), so the live row count bounds the walk.
+        live_rows = jnp.sum(
+            jnp.any((rec_flags & F_ALIVE) > 0, axis=1).astype(jnp.int32)
+        )
+
+        def cond(st):
+            return st[0] < live_rows
+
+        def body(st):
+            b, carry = st[0], st[1]
+            idx = jax.lax.dynamic_slice_in_dim(rec_idx, b, 1, axis=0)[0]
+            flags = jax.lax.dynamic_slice_in_dim(rec_flags, b, 1, axis=0)[0]
+            carry, _ = step(carry, (idx, flags, b))
+            return (b + 1, carry)
+
+        _, (_, _, _, rad) = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), (o, d, thr0, rad0))
+        )
+        return rad
     bounces = jnp.arange(max_depth, dtype=jnp.int32)
     (_, _, _, rad), _ = jax.lax.scan(
         step, (o, d, thr0, rad0), (rec_idx, rec_flags, bounces)
     )
     return rad
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "chunk_spp", "max_depth")
+)
+def _record_replay_chunk(
+    sd, cp, sample0, seed, *, width, height, chunk_spp, max_depth
+):
+    """One sample chunk of the record+replay forward -> per-pixel sums."""
+    p = width * height
+    pix = jnp.tile(jnp.arange(p, dtype=jnp.uint32), chunk_spp)
+    smp = jnp.repeat(
+        sample0 + jnp.arange(chunk_spp, dtype=jnp.uint32), p
+    )
+    o, d, _ = generate_rays(cp, width, height, pix, smp, seed)
+    rec_idx, rec_flags = trace_record_mega(
+        sd, cp, width, height, pix, smp, seed, max_depth,
+        interpret=jax.default_backend() == "cpu",
+    )
+    rad = trace_replay(
+        sd, o, d, pix, smp, seed, max_depth, rec_idx, rec_flags,
+        early_exit=True,
+    )
+    return rad.reshape(chunk_spp, p, 3).sum(axis=0)
+
+
+def render_record_replay(
+    sd: SceneData,
+    cp: CameraParams,
+    width: int,
+    height: int,
+    spp: int,
+    max_depth: int,
+    seed,
+    rec_budget_bytes: int = 1 << 28,
+    progress=None,
+):
+    """Forward render for scenes the megakernel's SHADING can't take but its
+    geometry can: record-mode megakernel (decisions are albedo/sky
+    independent) + jnp replay for the radiance, whose XLA gathers handle
+    image textures, equirect skyboxes and nested checkers. The production
+    schedule for the earth/garden demo families (render.py 'record').
+
+    Chunks samples so the decision records stay under ``rec_budget_bytes``.
+    Returns the per-pixel radiance SUM (P, 3); divide by spp.
+    """
+    import time as _time
+
+    p = width * height
+    chunk_spp = int(max(1, min(spp, rec_budget_bytes // (8 * max_depth * p))))
+    fb = None
+    t0 = _time.time()
+    for s0 in range(0, spp, chunk_spp):
+        cs = min(chunk_spp, spp - s0)
+        out = _record_replay_chunk(
+            sd, cp, jnp.uint32(s0), jnp.asarray(seed, jnp.uint32),
+            width=width, height=height, chunk_spp=cs, max_depth=max_depth,
+        )
+        fb = out if fb is None else fb + out
+        if progress is not None:
+            jax.block_until_ready(fb)
+            progress(s0 + cs, spp, _time.time() - t0)
+    return fb
 
 
 def render_rays_replay(
@@ -436,7 +531,7 @@ def render_rays_replay(
         record_mode = (
             "mega"
             if (
-                integrator.megakernel_supported(sd, cp)
+                integrator.megakernel_record_supported(sd, cp)
                 and jax.default_backend() != "cpu"
             )
             else "staged"

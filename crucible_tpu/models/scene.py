@@ -54,13 +54,14 @@ class ImageTexture:
 class CheckerTexture:
     """src/textures/checker_texture.rs — 3-D checker over two sub-textures.
 
-    Children must be leaf textures (SolidColor / ImageTexture); see
-    models/textures.py for the nesting-depth rationale.
+    Children may be ANY texture, including other checkers, matching the
+    reference's ``Arc<Textures>`` composition; nesting depth is static and
+    sizes the evaluation unroll (models/textures.py).
     """
 
     scale: float
-    even: Union[SolidColor, ImageTexture]
-    odd: Union[SolidColor, ImageTexture]
+    even: "TextureSpec"
+    odd: "TextureSpec"
 
     @classmethod
     def from_colors(cls, scale, c1, c2):
@@ -311,8 +312,6 @@ class _TableBuilder:
                 image=self.image_ids[spec.filename],
             )
         elif isinstance(spec, CheckerTexture):
-            if isinstance(spec.even, CheckerTexture) or isinstance(spec.odd, CheckerTexture):
-                raise ValueError("checker children must be leaf textures (solid/image)")
             even = self.texture(spec.even)
             odd = self.texture(spec.odd)
             row = dict(
@@ -380,7 +379,15 @@ class _TableBuilder:
         rows = self.tex_rows or [
             dict(kind=tex_mod.SOLID, color=(0, 0, 0), inv_scale=1.0, even=0, odd=0, image=0)
         ]
+
+        # Static checker-nesting depth: children are always created BEFORE
+        # their parent (texture() recursion), so one forward pass suffices.
+        depth = [0] * len(rows)
+        for i, r in enumerate(rows):
+            if r["kind"] == tex_mod.CHECKER:
+                depth[i] = 1 + max(depth[r["even"]], depth[r["odd"]])
         return tex_mod.TextureTable(
+            max_nest=max(1, max(depth, default=1)),
             kind=jnp.asarray([r["kind"] for r in rows], jnp.int32),
             color=jnp.asarray([r["color"] for r in rows], jnp.float32),
             inv_scale=jnp.asarray([r["inv_scale"] for r in rows], jnp.float32),

@@ -6,9 +6,14 @@ row in a table; evaluation is vectorized over the wavefront and the enum
 dispatch becomes masked selects.
 
 Checker composition: the reference lets checker children be arbitrary
-``Arc<Textures>`` (src/textures/checker_texture.rs:12-36). We support one
-level of nesting (checker children must be leaf textures — solid or image),
-which covers every reference demo; deeper nesting raises at scene build.
+``Arc<Textures>`` (src/textures/checker_texture.rs:12-36). Checker children
+here may be any texture including other checkers: the table records the
+scene's maximum nesting depth (static) and evaluation resolves that many
+indirection levels with a fixed unroll — each level applies ITS OWN
+inv_scale parity before stepping into the chosen child. The fast fused /
+megakernel schedules bake one level of checker colors into their attribute
+tables, so deeper nesting routes through the staged jnp path (scenes with
+max_nest > 1 are excluded by their static predicates).
 
 Texel gradients: image lookups are ``jnp.take`` gathers, so radiance is
 differentiable w.r.t. every texel and every solid color in the table.
@@ -37,6 +42,9 @@ class TextureTable:
     odd: jnp.ndarray  # (T,) int32 child id (checker)
     image_id: jnp.ndarray  # (T,) int32 index into `images`
     images: Tuple[jnp.ndarray, ...] = struct.field(default=())  # each (H, W, 3) f32
+    # Deepest checker-of-checker chain in the table (static: sizes the
+    # resolution unroll in `value`). 1 = plain checkers of leaves.
+    max_nest: int = struct.field(pytree_node=False, default=1)
 
 
 def image_lookup(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
@@ -70,14 +78,20 @@ def value(tex: TextureTable, tid, u, v, p) -> jnp.ndarray:
     """Texture color for a wavefront: tid (R,), u/v (R,), p (R,3) -> (R,3).
 
     Checker parity: floor(p * inv_scale) summed over axes, even -> `even`
-    child (src/textures/checker_texture.rs:39-52).
+    child (src/textures/checker_texture.rs:39-52). Nested checkers resolve
+    through a static unroll of ``max_nest`` levels — the iterative form of
+    the reference's recursion into ``Arc<Textures>`` children.
     """
-    kind = jnp.take(tex.kind, tid, axis=0)
-    inv_scale = jnp.take(tex.inv_scale, tid, axis=0)
-    xyz = jnp.floor(inv_scale[:, None] * p).astype(jnp.int32)
-    is_even = (xyz[:, 0] + xyz[:, 1] + xyz[:, 2]) % 2 == 0
-    child = jnp.where(
-        is_even, jnp.take(tex.even, tid, axis=0), jnp.take(tex.odd, tid, axis=0)
-    )
-    resolved = jnp.where(kind == CHECKER, child, tid)
+    resolved = jnp.asarray(tid)
+    for _ in range(tex.max_nest):
+        kind = jnp.take(tex.kind, resolved, axis=0)
+        inv_scale = jnp.take(tex.inv_scale, resolved, axis=0)
+        xyz = jnp.floor(inv_scale[:, None] * p).astype(jnp.int32)
+        is_even = (xyz[:, 0] + xyz[:, 1] + xyz[:, 2]) % 2 == 0
+        child = jnp.where(
+            is_even,
+            jnp.take(tex.even, resolved, axis=0),
+            jnp.take(tex.odd, resolved, axis=0),
+        )
+        resolved = jnp.where(kind == CHECKER, child, resolved)
     return _leaf_value(tex, resolved, u, v)

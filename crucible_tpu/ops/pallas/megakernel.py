@@ -472,7 +472,6 @@ def _kernel(
         # the sphere-stage t, so only closer triangle hits win (strict <,
         # matching integrator.intersect_scene's is_tri rule).
         if n_tri_nodes:
-            n_tris_total = tris_ref.shape[0]
 
             def tsafe_inv(dc):
                 return 1.0 / jnp.where(
@@ -511,50 +510,84 @@ def _kernel(
                 miss = nrow[0, 8].astype(jnp.int32)
 
                 def leaf_fn(carry):
+                    # BATCHED leaf test: the whole <=tri_leaf-triangle leaf
+                    # against all TILE lanes as ONE (L, T) Möller–Trumbore —
+                    # the same (rows, T) layout as the sphere stage. The
+                    # former per-triangle sequential loop issued (1, T) ops
+                    # whose vregs are 7/8-empty in the sublane dim; batching
+                    # fills them (measured 1.22 -> see tpu_results.jsonl).
                     if rec_depth:
                         tb2, nx2, ny2, nz2, md2, ti2 = carry
                     else:
                         tb2, nx2, ny2, nz2, md2 = carry
-                    for li in range(tri_leaf):
-                        pid = jnp.minimum(first + li, n_tris_total - 1)
-                        tr = tris_ref[pl.ds(pid, 1), :]  # (1, 16)
-                        e1x, e1y, e1z = tr[0, 3], tr[0, 4], tr[0, 5]
-                        e2x, e2y, e2z = tr[0, 6], tr[0, 7], tr[0, 8]
-                        pvx = dy * e2z - dz * e2y
-                        pvy = dz * e2x - dx * e2z
-                        pvz = dx * e2y - dy * e2x
-                        det = e1x * pvx + e1y * pvy + e1z * pvz
-                        det_ok = jnp.abs(det) > 1e-8  # ops/intersect.MT_EPS
-                        invd = jnp.where(
-                            det_ok, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0
+                    # tris is padded by tri_leaf zero rows (make_tri_tables)
+                    # so a full block read at `first` never runs off the end;
+                    # zero rows have det == 0 and fail det_ok.
+                    blk = tris_ref[pl.ds(first, tri_leaf), :]  # (L, 16)
+
+                    def bc(c):
+                        return blk[:, c : c + 1]  # (L, 1)
+
+                    e1x, e1y, e1z = bc(3), bc(4), bc(5)
+                    e2x, e2y, e2z = bc(6), bc(7), bc(8)
+                    pvx = dy * e2z - dz * e2y  # (L, T)
+                    pvy = dz * e2x - dx * e2z
+                    pvz = dx * e2y - dy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    det_ok = jnp.abs(det) > 1e-8  # ops/intersect.MT_EPS
+                    invd = jnp.where(
+                        det_ok, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0
+                    )
+                    tvx = ox - bc(0)
+                    tvy = oy - bc(1)
+                    tvz = oz - bc(2)
+                    uu = (tvx * pvx + tvy * pvy + tvz * pvz) * invd
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    vv = (dx * qvx + dy * qvy + dz * qvz) * invd
+                    th = (e2x * qvx + e2y * qvy + e2z * qvz) * invd
+                    rows = jax.lax.broadcasted_iota(
+                        jnp.int32, (tri_leaf, TILE), 0
+                    )
+                    ok = (
+                        det_ok
+                        & (uu >= 0.0)
+                        & (vv >= 0.0)
+                        & (uu + vv <= 1.0)
+                        & (th > t_min)
+                        & (th < tb2)
+                        & bh
+                        & (rows < count)
+                    )
+                    th_m = jnp.where(ok, th, BIG)
+                    tmin = jnp.min(th_m, axis=0, keepdims=True)  # (1, T)
+                    better = tmin < tb2
+                    # Lowest-index winner on exact ties — matches the
+                    # sequential loop's strictly-better update order.
+                    win_row = jnp.min(
+                        jnp.where(th_m == tmin, rows, jnp.int32(2**30)),
+                        axis=0, keepdims=True,
+                    )
+                    win = (rows == win_row) & better
+
+                    def pick(c, old):
+                        val = jnp.sum(
+                            jnp.where(win, bc(c), 0.0), axis=0, keepdims=True
                         )
-                        tvx = ox - tr[0, 0]
-                        tvy = oy - tr[0, 1]
-                        tvz = oz - tr[0, 2]
-                        uu = (tvx * pvx + tvy * pvy + tvz * pvz) * invd
-                        qvx = tvy * e1z - tvz * e1y
-                        qvy = tvz * e1x - tvx * e1z
-                        qvz = tvx * e1y - tvy * e1x
-                        vv = (dx * qvx + dy * qvy + dz * qvz) * invd
-                        th = (e2x * qvx + e2y * qvy + e2z * qvz) * invd
-                        ok = (
-                            det_ok
-                            & (uu >= 0.0)
-                            & (vv >= 0.0)
-                            & (uu + vv <= 1.0)
-                            & (th > t_min)
-                            & (th < tb2)
-                            & bh
-                            & (li < count)
-                        )
-                        tb2 = jnp.where(ok, th, tb2)
-                        nx2 = jnp.where(ok, tr[0, 9], nx2)
-                        ny2 = jnp.where(ok, tr[0, 10], ny2)
-                        nz2 = jnp.where(ok, tr[0, 11], nz2)
-                        md2 = jnp.where(ok, tr[0, 12], md2)
-                        if rec_depth:
-                            ti2 = jnp.where(ok, pid.astype(jnp.float32), ti2)
+                        return jnp.where(better, val, old)
+
+                    tb2 = jnp.where(better, tmin, tb2)
+                    nx2 = pick(9, nx2)
+                    ny2 = pick(10, ny2)
+                    nz2 = pick(11, nz2)
+                    md2 = pick(12, md2)
                     if rec_depth:
+                        tid_val = jnp.sum(
+                            jnp.where(win, (first + rows).astype(jnp.float32), 0.0),
+                            axis=0, keepdims=True,
+                        )
+                        ti2 = jnp.where(better, tid_val, ti2)
                         return tb2, nx2, ny2, nz2, md2, ti2
                     return tb2, nx2, ny2, nz2, md2
 

@@ -295,3 +295,50 @@ class TestMegaRecordMode:
         assert (replay_mod.F_ALIVE, replay_mod.F_HIT, replay_mod.F_TRI,
                 replay_mod.F_SCAT, replay_mod.F_FRONT, replay_mod.F_REFL,
                 replay_mod.F_DEGEN, replay_mod.F_ROOT1) == (1, 2, 4, 8, 16, 32, 64, 128)
+
+
+class TestRecordSchedule:
+    """'record' render schedule (render.py): record-mode megakernel for
+    geometry + jnp replay for shading — the production path for image
+    textures, equirect skies and nested checkers (VERDICT r1 #2, solved by
+    moving shading OUT of the kernel instead of fighting Mosaic's gather
+    coverage)."""
+
+    @pytest.mark.parametrize("mk,depth", [(demo.earth, 6), (demo.garden_skybox, 5)])
+    def test_matches_staged(self, mk, depth):
+        from crucible_tpu.models import render
+
+        sc = mk(width=32)
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
+        a = render.render_image_persistent(
+            sd, cp, w, h, 2, depth, 1, schedule="pixel", use_pallas=False
+        )
+        b = render.render_image_persistent(sd, cp, w, h, 2, depth, 1, schedule="record")
+        close = np.isclose(a, b, rtol=1e-3, atol=1e-3).mean()
+        assert close > 0.99, close
+        np.testing.assert_allclose(a.mean(), b.mean(), atol=2e-3)
+
+    def test_record_supported_predicates(self):
+        sc = demo.earth(width=32)
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        assert not integrator.megakernel_supported(sd, cp)  # image texture
+        assert integrator.megakernel_record_supported(sd, cp)
+        assert replay_mod.replay_supported(sd)
+
+    def test_chunked_record_replay_sums(self):
+        """Chunking the record+replay over samples equals one chunk."""
+        from crucible_tpu.models import replay as R
+
+        sc = demo.earth(width=24)
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
+        one = R.render_record_replay(sd, cp, w, h, 4, 4, 1)
+        # Budget forcing 1-sample chunks.
+        many = R.render_record_replay(
+            sd, cp, w, h, 4, 4, 1, rec_budget_bytes=8 * 4 * w * h
+        )
+        np.testing.assert_allclose(np.asarray(many), np.asarray(one), rtol=1e-5, atol=1e-5)
