@@ -149,6 +149,11 @@ def render_image_persistent(
 
         if integrator.megakernel_supported(sd, cp):
             schedule = "mega"
+        elif integrator.fused_supported(sd):
+            # Staged loop with the fused intersect+fetch kernel — already
+            # fast (garden 18.8 Mrays/s); record+replay's per-chunk record
+            # buffers would only slow it down.
+            schedule = "pixel"
         elif (
             integrator.megakernel_record_supported(sd, cp)
             and replay_mod.replay_supported(sd)

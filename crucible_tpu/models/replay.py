@@ -445,17 +445,25 @@ def trace_replay(
     jax.jit, static_argnames=("width", "height", "chunk_spp", "max_depth")
 )
 def _record_replay_chunk(
-    sd, cp, sample0, seed, *, width, height, chunk_spp, max_depth
+    sd, cp, sample0, spp_total, seed, *, width, height, chunk_spp, max_depth
 ):
-    """One sample chunk of the record+replay forward -> per-pixel sums."""
+    """One sample chunk of the record+replay forward -> per-pixel sums.
+
+    ``sample0``/``spp_total`` are traced: every chunk (including a ragged
+    tail, whose lanes past spp_total are masked out through the kernel's
+    padding-lane mechanism) reuses ONE compiled executable."""
     p = width * height
     pix = jnp.tile(jnp.arange(p, dtype=jnp.uint32), chunk_spp)
     smp = jnp.repeat(
         sample0 + jnp.arange(chunk_spp, dtype=jnp.uint32), p
     )
     o, d, _ = generate_rays(cp, width, height, pix, smp, seed)
+    # Tail masking: lanes whose sample id is past the requested spp become
+    # padding lanes in the record kernel (sample0 = 2^30 -> never issue,
+    # flags 0 -> replay adds nothing).
+    smp_rec = jnp.where(smp < spp_total, smp, jnp.uint32(2**30))
     rec_idx, rec_flags = trace_record_mega(
-        sd, cp, width, height, pix, smp, seed, max_depth,
+        sd, cp, width, height, pix, smp_rec, seed, max_depth,
         interpret=jax.default_backend() == "cpu",
     )
     rad = trace_replay(
@@ -491,16 +499,20 @@ def render_record_replay(
     chunk_spp = int(max(1, min(spp, rec_budget_bytes // (8 * max_depth * p))))
     fb = None
     t0 = _time.time()
+    spp_t = jnp.uint32(spp)
+    seed_t = jnp.asarray(seed, jnp.uint32)
     for s0 in range(0, spp, chunk_spp):
-        cs = min(chunk_spp, spp - s0)
+        # Constant chunk_spp every iteration (the ragged tail is masked via
+        # spp_total inside the chunk) -> exactly ONE compiled executable.
         out = _record_replay_chunk(
-            sd, cp, jnp.uint32(s0), jnp.asarray(seed, jnp.uint32),
-            width=width, height=height, chunk_spp=cs, max_depth=max_depth,
+            sd, cp, jnp.uint32(s0), spp_t, seed_t,
+            width=width, height=height, chunk_spp=chunk_spp,
+            max_depth=max_depth,
         )
         fb = out if fb is None else fb + out
         if progress is not None:
             jax.block_until_ready(fb)
-            progress(s0 + cs, spp, _time.time() - t0)
+            progress(min(s0 + chunk_spp, spp), spp, _time.time() - t0)
     return fb
 
 

@@ -197,9 +197,65 @@ def hit_spheres_moving(o, d, w, ca, cd, ra, rd, active, t_min, t_max):
       r(w)^2   = ra^2 + 2w(ra*rd) + w^2 rd^2
     so the animated path costs two extra matmuls and no (R, N, 3) tensors.
 
+    Differentiable with an O(R) winner-only backward (custom VJP mirroring
+    hit_spheres): dt/d(ca) = nvec/den per winner, the motion leaves pick up
+    an extra factor w (dt/d(cd) = w * nvec/den, dt/d(rd) = w * r(w)/den).
+    The shutter fraction w itself is an RNG sample (detached).
+
     Args: o, d (R,3); w (R,); ca/cd (N,3); ra/rd (N,); active (N,) bool.
     Returns (t, idx, hit) like hit_spheres.
     """
+    return _moving_hit(
+        o, d, w, ca, cd, ra, rd,
+        jnp.asarray(active).astype(jnp.float32),
+        jnp.asarray(t_min, jnp.float32),
+        jnp.asarray(t_max, jnp.float32),
+    )
+
+
+@jax.custom_vjp
+def _moving_hit(o, d, w, ca, cd, ra, rd, active_f, t_min, t_max):
+    return _moving_hit_impl(o, d, w, ca, cd, ra, rd, active_f, t_min, t_max)
+
+
+def _moving_hit_fwd(o, d, w, ca, cd, ra, rd, active_f, t_min, t_max):
+    out = _moving_hit_impl(o, d, w, ca, cd, ra, rd, active_f, t_min, t_max)
+    t, idx, hit = out
+    return out, (o, d, w, ca, cd, ra, rd, t, idx, hit)
+
+
+def _moving_hit_bwd(res, cts):
+    o, d, w, ca, cd, ra, rd, t, idx, hit = res
+    t_bar = cts[0]
+    c_w = jnp.take(ca, idx, axis=0) + w[:, None] * jnp.take(cd, idx, axis=0)
+    r_w = jnp.take(ra, idx, axis=0) + w * jnp.take(rd, idx, axis=0)
+    t_safe = jnp.where(hit, t, 1.0)
+    nvec = o + t_safe[:, None] * d - c_w
+    den = jnp.sum(d * nvec, axis=-1)
+    safe_den = jnp.where(jnp.abs(den) > 1e-12, den, 1.0)
+    g = jnp.where(hit & (jnp.abs(den) > 1e-12), t_bar / safe_den, 0.0)
+    go = -g[:, None] * nvec
+    gd = -(g * t_safe)[:, None] * nvec
+    gc_rows = jnp.where(hit[:, None], g[:, None] * nvec, 0.0)
+    gr_rows = jnp.where(hit, g * r_w, 0.0)
+    gca = jnp.zeros_like(ca).at[idx].add(gc_rows)
+    gcd = jnp.zeros_like(cd).at[idx].add(w[:, None] * gc_rows)
+    gra = jnp.zeros_like(ra).at[idx].add(gr_rows)
+    grd = jnp.zeros_like(rd).at[idx].add(w * gr_rows)
+    zero = jnp.zeros((), jnp.float32)
+    # w is an RNG sample: detached (its true derivative moves the shutter
+    # instant, a term the detached-sampling estimator excludes).
+    return (
+        go, gd, jnp.zeros_like(w), gca, gcd, gra, grd,
+        jnp.zeros_like(ca[:, 0]), zero, zero,
+    )
+
+
+_moving_hit.defvjp(_moving_hit_fwd, _moving_hit_bwd)
+
+
+def _moving_hit_impl(o, d, w, ca, cd, ra, rd, active_f, t_min, t_max):
+    active = active_f > 0.0
     hi = jax.lax.Precision.HIGHEST
     wcol = w[:, None]  # (R, 1)
     d_dot_c = jnp.dot(d, ca.T, precision=hi) + wcol * jnp.dot(d, cd.T, precision=hi)

@@ -116,7 +116,14 @@ def demos(width=400, spp=32, depth=50):
         )
 
 
-def grad(configs=((192, 108, 4, 8), (384, 216, 4, 8), (768, 432, 4, 8))):
+def grad(
+    configs=(
+        (192, 108, 4, 8),
+        (384, 216, 4, 8),
+        (768, 432, 4, 8),
+        (1920, 1080, 4, 8),  # 8.3M rays/step: records 530 MB, chunked one-hots
+    )
+):
     """fwd+bwd loss_and_grad throughput (north-star metric component):
     replay vs direct-AD at growing pixel batches on book1."""
     from crucible_tpu import grad as G
