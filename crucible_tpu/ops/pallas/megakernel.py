@@ -60,6 +60,7 @@ import numpy as np
 BIG = np.float32(3.0e38)
 TILE = 512
 C_IN = 32  # sphere attribute table columns (sphere_shade.py layout)
+NODE_WIN = 8  # BVH nodes slab-tested per traversal iteration (one (W,T) batch)
 
 # Camera constant vector layout (1, 48) f32.
 # Static-camera slots (precomputed basis — models/camera.py::generate_rays):
@@ -188,6 +189,19 @@ def cluster_spheres(center, radius, active, center_d=None, radius_d=None):
             bounds[ci, 0:3] = (lo - pad).astype(np.float32)
             bounds[ci, 3:6] = (hi + pad).astype(np.float32)
     return perm, bounds
+
+
+def _pad_tri_nodes(tri_nodes):
+    """Append NODE_WIN guard rows so the windowed walk's (W, 16) block read
+    at the last real node never runs off the VMEM block. Guard rows are an
+    empty far-away box (lo == hi == 3e37 — the min/max slab only 'hits' it
+    for exactly-diagonal rays, and even then harmlessly), count 0, and
+    miss = n: a cursor that wanders in exits the traversal loop."""
+    k = tri_nodes.shape[0]
+    pad = jnp.zeros((NODE_WIN, 16), tri_nodes.dtype)
+    pad = pad.at[:, 0:6].set(3.0e37)
+    pad = pad.at[:, 8].set(np.float32(k))
+    return jnp.concatenate([tri_nodes, pad], axis=0)
 
 
 def _kernel(
@@ -463,14 +477,16 @@ def _kernel(
             attrs = dict(zip(attr_cols, vals))
 
         # --- triangle BVH stage (teapot-class meshes) -----------------------
-        # Tile-coherent traversal: ONE scalar DFS cursor per tile walks the
-        # flat skip-link BVH (ops/bvh.py); all 512 lanes slab-test the same
-        # node and the subtree is skipped when NO live ray's interval hits
-        # it (scalar any-reduce). Leaves test <= tri_leaf triangles against
-        # the whole tile with scalar per-triangle data — Moller-Trumbore
-        # exactly as ops/traverse.py::_mt_single. The traversal starts from
-        # the sphere-stage t, so only closer triangle hits win (strict <,
-        # matching integrator.intersect_scene's is_tri rule).
+        # Tile-coherent WINDOWED traversal: ONE scalar DFS cursor per tile
+        # walks the flat skip-link BVH (ops/bvh.py), but each while-iteration
+        # slab-tests a NODE_WIN-node window as a single (W, T) batch (full
+        # sublane occupancy — the per-(1,T)-op walk left vregs 7/8 empty) and
+        # then chases the cursor through the window with unrolled scalar
+        # selects: hit interior -> +1, miss -> skip link, first hit LEAF ->
+        # batched Moller-Trumbore below (ops/traverse.py::_mt_single math),
+        # second hit leaf -> the cursor parks there for the next iteration.
+        # The traversal starts from the sphere-stage t, so only closer
+        # triangle hits win (strict <, integrator.intersect_scene's rule).
         if n_tri_nodes:
 
             def tsafe_inv(dc):
@@ -488,13 +504,15 @@ def _kernel(
                     c, tb, tnx, tny, tnz, tmid, ttid = s
                 else:
                     c, tb, tnx, tny, tnz, tmid = s
-                nrow = tnodes_ref[pl.ds(c, 1), :]  # (1, 16)
-                t0x = (nrow[0, 0] - ox) * ivx
-                t1x = (nrow[0, 3] - ox) * ivx
-                t0y = (nrow[0, 1] - oy) * ivy
-                t1y = (nrow[0, 4] - oy) * ivy
-                t0z = (nrow[0, 2] - oz) * ivz
-                t1z = (nrow[0, 5] - oz) * ivz
+                # tnodes_ref is padded by NODE_WIN guard rows (empty far box,
+                # count 0, miss = n) so this never runs off the block.
+                blk = tnodes_ref[pl.ds(c, NODE_WIN), :]  # (W, 16)
+                t0x = (blk[:, 0:1] - ox) * ivx  # (W, T)
+                t1x = (blk[:, 3:4] - ox) * ivx
+                t0y = (blk[:, 1:2] - oy) * ivy
+                t1y = (blk[:, 4:5] - oy) * ivy
+                t0z = (blk[:, 2:3] - oz) * ivz
+                t1z = (blk[:, 5:6] - oz) * ivz
                 enter = jnp.maximum(
                     jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
                     jnp.maximum(jnp.minimum(t0z, t1z), t_min),
@@ -503,11 +521,43 @@ def _kernel(
                     jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
                     jnp.minimum(jnp.maximum(t0z, t1z), tb),
                 )
-                bh = (enter <= exitv) & alive
-                anyhit = jnp.max(jnp.where(bh, 1, 0)) > 0
-                first = nrow[0, 6].astype(jnp.int32)
-                count = nrow[0, 7].astype(jnp.int32)
-                miss = nrow[0, 8].astype(jnp.int32)
+                bh_w = jnp.where((enter <= exitv) & alive, 1, 0)  # (W, T)
+
+                # Scalar cursor chase through the window. `stop` parks the
+                # cursor at a SECOND hit leaf (one leaf test per iteration);
+                # nodes visited after the first taken leaf were slab-tested
+                # against the pre-leaf tb — conservative (never skips a node
+                # the tighter t would keep), so correctness is unaffected.
+                cur = c
+                have = jnp.int32(0)
+                stop = jnp.int32(0)
+                first = jnp.int32(0)
+                count = jnp.int32(0)
+                lf_row = jnp.int32(0)
+                for i in range(NODE_WIN):
+                    hit_i = jnp.max(bh_w[i : i + 1, :]) > 0
+                    first_i = blk[i, 6].astype(jnp.int32)
+                    cnt_i = blk[i, 7].astype(jnp.int32)
+                    miss_i = blk[i, 8].astype(jnp.int32)
+                    at = (cur == c + i) & (stop == 0)
+                    hitleaf = at & hit_i & (cnt_i > 0)
+                    take = hitleaf & (have == 0)
+                    first = jnp.where(take, first_i, first)
+                    count = jnp.where(take, cnt_i, count)
+                    lf_row = jnp.where(take, jnp.int32(i), lf_row)
+                    have = jnp.where(take, jnp.int32(1), have)
+                    stop = jnp.where(hitleaf & (have == 1) & ~take, jnp.int32(1), stop)
+                    nxt = jnp.where(hit_i, c + i + 1, miss_i)
+                    cur = jnp.where(at & (stop == 0), nxt, cur)
+                c_next = cur
+                anyhit = have > 0
+                # Per-lane box gate of the taken leaf's window row (the old
+                # per-node `bh`), selected without dynamic vector indexing.
+                lrows = jax.lax.broadcasted_iota(jnp.int32, (NODE_WIN, TILE), 0)
+                bh = (
+                    jnp.max(jnp.where(lrows == lf_row, bh_w, 0), axis=0, keepdims=True)
+                    > 0
+                )  # (1, T)
 
                 def leaf_fn(carry):
                     # BATCHED leaf test: the whole <=tri_leaf-triangle leaf
@@ -595,10 +645,7 @@ def _kernel(
                     carry0 = (tb, tnx, tny, tnz, tmid, ttid)
                 else:
                     carry0 = (tb, tnx, tny, tnz, tmid)
-                carry1 = jax.lax.cond(
-                    anyhit & (count > 0), leaf_fn, lambda cst: cst, carry0
-                )
-                c_next = jnp.where(anyhit & (count == 0), c + 1, miss)
+                carry1 = jax.lax.cond(anyhit, leaf_fn, lambda cst: cst, carry0)
                 return (c_next,) + carry1
 
             if rec_depth:
@@ -888,10 +935,12 @@ def run_megakernel(
         n_mats = mats.shape[0]
         assert tri_nodes.shape[1] == 16 and tris.shape[1] == 16
         assert mats.shape[1] == 24
-        extra_in += [tri_nodes, tris, mats]
+        extra_in += [_pad_tri_nodes(tri_nodes), tris, mats]
         extra_specs += [
             pl.BlockSpec(
-                (n_tri_nodes, 16), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (n_tri_nodes + NODE_WIN, 16),
+                lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (tris.shape[0], 16), lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -966,10 +1015,12 @@ def run_megakernel_record(
     if tri_nodes is not None:
         n_tri_nodes = tri_nodes.shape[0]
         n_mats = mats.shape[0]
-        extra_in += [tri_nodes, tris, mats]
+        extra_in += [_pad_tri_nodes(tri_nodes), tris, mats]
         extra_specs += [
             pl.BlockSpec(
-                (n_tri_nodes, 16), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (n_tri_nodes + NODE_WIN, 16),
+                lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (tris.shape[0], 16), lambda i: (0, 0), memory_space=pltpu.VMEM

@@ -103,7 +103,10 @@ def demos(width=400, spp=32, depth=50):
         sd = sc.build()
         cp = sc.scene_cam.params()
         w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
-        render.render_image_persistent(sd, cp, w, h, 2, depth, 0)
+        # Warm up at the MEASURED spp: the record schedule's chunk_spp is a
+        # static jit arg derived from spp, so a cheap 2-spp warmup compiles
+        # a different executable and the timed run pays the real compile.
+        render.render_image_persistent(sd, cp, w, h, spp, depth, 0)
         t0 = time.time()
         img = render.render_image_persistent(sd, cp, w, h, spp, depth, 0)
         dt = time.time() - t0
@@ -154,6 +157,89 @@ def grad(
             )
 
 
+def leafsweep(width=400, spp=32, depth=50, sizes=(32, 64, 128)):
+    """Teapot BVH leaf-size sweep through the megakernel. With BATCHED leaf
+    tests, leaf flops per tested-triangle are constant while node count
+    halves per doubling — measures where the scalar node walk stops
+    dominating (VERDICT r1 #3)."""
+    from crucible_tpu.models import demo, render
+
+    for ls in sizes:
+        sc = demo.load_teapot(width=width)
+        sd = sc.build(leaf_size=ls)
+        cp = sc.scene_cam.params()
+        w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
+        render.render_image_persistent(sd, cp, w, h, 2, depth, 0)
+        t0 = time.time()
+        img = render.render_image_persistent(sd, cp, w, h, spp, depth, 0)
+        dt = time.time() - t0
+        log(
+            bench=f"teapot_leaf{ls}_{width}w",
+            spp=spp,
+            seconds=round(dt, 2),
+            mrays_per_s=round(w * h * spp / dt / 1e6, 2),
+            mean=round(float(img.mean()), 4),
+        )
+
+
+def earthprof(width=400, spp=32, depth=50):
+    """Split the earth demo's record-schedule cost: record kernel vs replay
+    vs live-row count, steady state (one chunk, compiled out of the timing)."""
+    from crucible_tpu.models import demo, replay
+    from crucible_tpu.models.camera import generate_rays
+    from crucible_tpu.models import integrator
+
+    sc = demo.earth(width=width)
+    sd = sc.build()
+    cp = sc.scene_cam.params()
+    w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
+    p = w * h
+    chunk_spp = int(max(1, min(spp, (1 << 28) // (8 * depth * p))))
+    pix = jnp.tile(jnp.arange(p, dtype=jnp.uint32), chunk_spp)
+    smp = jnp.repeat(jnp.arange(chunk_spp, dtype=jnp.uint32), p)
+    seed = jnp.uint32(0)
+
+    rec = jax.jit(
+        lambda: replay.trace_record_mega(sd, cp, w, h, pix, smp, seed, depth)
+    )
+    rec_idx, rec_flags = jax.block_until_ready(rec())
+    t0 = time.time()
+    jax.block_until_ready(rec())
+    rec_s = time.time() - t0
+
+    live = int(
+        np.asarray(
+            jnp.sum(jnp.any((rec_flags & replay.F_ALIVE) > 0, axis=1))
+        )
+    )
+    o, d, _ = generate_rays(cp, w, h, pix, smp, seed)
+
+    rp = jax.jit(
+        lambda ri, rf: replay.trace_replay(
+            sd, o, d, pix, smp, seed, depth, ri, rf, early_exit=True
+        )
+    )
+    jax.block_until_ready(rp(rec_idx, rec_flags))
+    t0 = time.time()
+    jax.block_until_ready(rp(rec_idx, rec_flags))
+    rp_s = time.time() - t0
+    log(
+        bench=f"earthprof_{width}w",
+        chunk_spp=chunk_spp,
+        lanes=int(pix.shape[0]),
+        record_s=round(rec_s, 3),
+        replay_s=round(rp_s, 3),
+        live_rows=live,
+        implied_mrays=round(p * chunk_spp / (rec_s + rp_s) / 1e6, 2),
+    )
+
+
+def r2():
+    demos()
+    leafsweep()
+    grad()
+
+
 def full():
     micro()
     quick(400)
@@ -164,4 +250,8 @@ def full():
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "quick"
     print("devices:", jax.devices(), flush=True)
-    {"quick": quick, "full": full, "micro": micro, "demos": demos, "grad": grad}[mode]()
+    {
+        "quick": quick, "full": full, "micro": micro, "demos": demos,
+        "grad": grad, "leafsweep": leafsweep, "r2": r2,
+        "earthprof": earthprof,
+    }[mode]()
