@@ -247,6 +247,9 @@ def trace_replay(
     rec_idx,
     rec_flags,
     early_exit: bool = False,
+    bounce0: int = 0,
+    thr_in=None,
+    return_carry: bool = False,
 ):
     """Differentiable O(R * depth) replay of recorded decisions -> (R, 3).
 
@@ -254,7 +257,14 @@ def trace_replay(
     lane (a while_loop over the row prefix — forward-only, since while has
     no transpose rule). Worth ~depth/mean-path-length on deep-budget scenes
     (depth 50 with ~3-bounce means); the gradient path keeps the static
-    scan."""
+    scan.
+
+    ``bounce0``/``thr_in``/``return_carry`` support SPLIT replays (the
+    head/tail lane-narrowing in _record_replay_chunk): records may be a row
+    slice starting at absolute bounce ``bounce0`` (keeps the per-bounce RNG
+    streams aligned), ``thr_in`` seeds the throughput carry, and
+    ``return_carry=True`` additionally returns (o, d, thr) after the last
+    replayed row."""
     r = o.shape[0]
     table = integrator.make_sphere_table(sd)  # (N, 32), differentiable
     if sd.num_tris > 0:
@@ -411,7 +421,7 @@ def trace_replay(
         d_c = jnp.where(cont[:, None], new_dir, d_c)
         return (o_c, d_c, thr, rad), None
 
-    thr0 = jnp.ones((r, 3), jnp.float32)
+    thr0 = jnp.ones((r, 3), jnp.float32) if thr_in is None else thr_in
     rad0 = jnp.zeros((r, 3), jnp.float32)
     if early_exit:
         # Alive rows form a prefix (the record loop stops when every lane
@@ -427,18 +437,31 @@ def trace_replay(
             b, carry = st[0], st[1]
             idx = jax.lax.dynamic_slice_in_dim(rec_idx, b, 1, axis=0)[0]
             flags = jax.lax.dynamic_slice_in_dim(rec_flags, b, 1, axis=0)[0]
-            carry, _ = step(carry, (idx, flags, b))
+            carry, _ = step(carry, (idx, flags, b + jnp.int32(bounce0)))
             return (b + 1, carry)
 
-        _, (_, _, _, rad) = jax.lax.while_loop(
+        _, (o_c, d_c, thr, rad) = jax.lax.while_loop(
             cond, body, (jnp.int32(0), (o, d, thr0, rad0))
         )
+        if return_carry:
+            return rad, (o_c, d_c, thr)
         return rad
-    bounces = jnp.arange(max_depth, dtype=jnp.int32)
-    (_, _, _, rad), _ = jax.lax.scan(
+    bounces = jnp.int32(bounce0) + jnp.arange(max_depth, dtype=jnp.int32)
+    (o_c, d_c, thr, rad), _ = jax.lax.scan(
         step, (o, d, thr0, rad0), (rec_idx, rec_flags, bounces)
     )
+    if return_carry:
+        return rad, (o_c, d_c, thr)
     return rad
+
+
+# Head/tail replay split: rows 0..SPLIT_DEPTH-1 replay at full lane width;
+# the rare lanes still alive past that (grazing-acne chains on convex
+# geometry reach max_depth with ~1e-4 frequency) are COMPACTED via top_k to
+# an R/LONG_DIV budget, so the deep tail stops paying full-width row costs
+# (earthprof_400w: 50 live rows, replay 0.301 s of a 0.339 s chunk).
+SPLIT_DEPTH = 8
+LONG_DIV = 64
 
 
 @functools.partial(
@@ -466,11 +489,51 @@ def _record_replay_chunk(
         sd, cp, width, height, pix, smp_rec, seed, max_depth,
         interpret=jax.default_backend() == "cpu",
     )
-    rad = trace_replay(
-        sd, o, d, pix, smp, seed, max_depth, rec_idx, rec_flags,
-        early_exit=True,
+    k = min(SPLIT_DEPTH, max_depth)
+    if max_depth <= k + 2:
+        rad = trace_replay(
+            sd, o, d, pix, smp, seed, max_depth, rec_idx, rec_flags,
+            early_exit=True,
+        )
+        return rad.reshape(chunk_spp, p, 3).sum(axis=0)
+
+    r = pix.shape[0]
+    r_long = int(min(r, max(512, r // LONG_DIV)))
+    rad_head, (o_k, d_k, thr_k) = trace_replay(
+        sd, o, d, pix, smp, seed, k, rec_idx[:k], rec_flags[:k],
+        return_carry=True,
     )
-    return rad.reshape(chunk_spp, p, 3).sum(axis=0)
+    depth_lane = jnp.sum(((rec_flags & F_ALIVE) > 0).astype(jnp.int32), axis=0)
+    n_long = jnp.sum((depth_lane > k).astype(jnp.int32))
+
+    def tail_narrow(_):
+        _, idx = jax.lax.top_k(depth_lane, r_long)
+        rad_l = trace_replay(
+            sd,
+            jnp.take(o_k, idx, axis=0),
+            jnp.take(d_k, idx, axis=0),
+            jnp.take(pix, idx, axis=0),
+            jnp.take(smp, idx, axis=0),
+            seed,
+            max_depth - k,
+            jnp.take(rec_idx[k:], idx, axis=1),
+            jnp.take(rec_flags[k:], idx, axis=1),
+            early_exit=True,
+            bounce0=k,
+            thr_in=jnp.take(thr_k, idx, axis=0),
+        )
+        return jnp.zeros((r, 3), jnp.float32).at[idx].add(rad_l)
+
+    def tail_full(_):
+        # Overflow guard (> r_long lanes survive row k): full-width tail.
+        return trace_replay(
+            sd, o_k, d_k, pix, smp, seed, max_depth - k,
+            rec_idx[k:], rec_flags[k:], early_exit=True, bounce0=k,
+            thr_in=thr_k,
+        )
+
+    rad_tail = jax.lax.cond(n_long <= r_long, tail_narrow, tail_full, None)
+    return (rad_head + rad_tail).reshape(chunk_spp, p, 3).sum(axis=0)
 
 
 def render_record_replay(

@@ -342,3 +342,23 @@ class TestRecordSchedule:
             sd, cp, w, h, 4, 4, 1, rec_budget_bytes=8 * 4 * w * h
         )
         np.testing.assert_allclose(np.asarray(many), np.asarray(one), rtol=1e-5, atol=1e-5)
+
+    def test_split_tail_replay_matches_reference(self):
+        """max_depth past SPLIT_DEPTH triggers the head/tail lane-narrowing
+        (top_k compaction of deep lanes); radiance must match the tiled
+        reference bit-for-bit up to f32 association."""
+        from crucible_tpu.models import render
+        from crucible_tpu.models import replay as R
+
+        assert 12 > R.SPLIT_DEPTH + 2
+        sc = demo.earth(width=24)
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
+        fb = R.render_record_replay(sd, cp, w, h, 3, 12, 0)
+        img = np.asarray(fb).reshape(h, w, 3) / np.float32(3)
+        ref = np.asarray(
+            render.render_image(sc, samples=3, max_depth=12, seed=0, mode="tiled")
+        )
+        d = np.abs(img - ref)
+        assert d.mean() < 3e-3 and (d > 1e-3).mean() < 0.03, d.max()
