@@ -631,38 +631,22 @@ def make_tri_tables(sd: SceneData):
     """Assemble the megakernel triangle inputs from the scene arrays:
     (tri_nodes (K,16), tris (M,16), mats (NM,24)) — layouts in
     megakernel.run_megakernel's docstring. Tiny per-render gathers."""
-    from crucible_tpu.ops.pallas import megakernel as mk
-
     e1 = sd.tri_v1 - sd.tri_v0
     e2 = sd.tri_v2 - sd.tri_v0
     n = intersect.triangle_normal(sd.tri_v0, sd.tri_v1, sd.tri_v2)
     m = sd.tri_v0.shape[0]
-    k = sd.bvh_min.shape[0]
-    # Col 13: OWNER leaf-node id per triangle (the megakernel's multi-leaf
-    # window masking). Leaves appear in DFS order with nondecreasing
-    # `first` (ops/bvh.py perm layout), so scattering each leaf's node id
-    # to its range start and taking a running max labels every row.
-    leaf_val = jnp.where(sd.bvh_count > 0, jnp.arange(k, dtype=jnp.int32), 0)
-    starts = (
-        jnp.zeros((m,), jnp.int32)
-        .at[jnp.where(sd.bvh_count > 0, sd.bvh_first, 0)]
-        .max(leaf_val)
-    )
-    owner = jax.lax.cummax(starts).astype(jnp.float32)
     tris = jnp.concatenate(
         [
             sd.tri_v0, e1, e2, n,
             sd.tri_mat.astype(jnp.float32)[:, None],
-            owner[:, None],  # 13
-            jnp.zeros((m, 2), jnp.float32),
+            jnp.zeros((m, 3), jnp.float32),
         ],
         axis=1,
     )
-    # Pad by TRI_BLOCK rows: the kernel reads a full TRI_BLOCK span at any
-    # taken leaf's start. Pad owner is -1 (matches no window row) and the
-    # zero vertices fail det_ok regardless.
-    pad = jnp.zeros((mk.TRI_BLOCK, 16), jnp.float32).at[:, 13].set(-1.0)
-    tris = jnp.concatenate([tris, pad], axis=0)
+    # Pad by one leaf of zero rows: the kernel's batched leaf test reads a
+    # full tri_leaf block at any leaf start (zero rows fail det_ok).
+    tris = jnp.pad(tris, ((0, sd.bvh_leaf_size), (0, 0)))
+    k = sd.bvh_min.shape[0]
     tri_nodes = jnp.concatenate(
         [
             sd.bvh_min, sd.bvh_max,

@@ -61,7 +61,6 @@ BIG = np.float32(3.0e38)
 TILE = 512
 C_IN = 32  # sphere attribute table columns (sphere_shade.py layout)
 NODE_WIN = 8  # BVH nodes slab-tested per traversal iteration (one (W,T) batch)
-TRI_BLOCK = 256  # triangle rows MT-tested per traversal iteration (B,T)
 
 # Camera constant vector layout (1, 48) f32.
 # Static-camera slots (precomputed basis — models/camera.py::generate_rays):
@@ -524,20 +523,17 @@ def _kernel(
                 )
                 bh_w = jnp.where((enter <= exitv) & alive, 1, 0)  # (W, T)
 
-                # Scalar cursor chase through the window. ALL hit leaves the
-                # cursor lands on are collected into ONE triangle-block test
-                # below, as long as their (DFS-contiguous) triangle ranges fit
-                # in a TRI_BLOCK-row span starting at the first taken leaf's
-                # `first` (f_lo); a hit leaf that doesn't fit parks the
-                # cursor (`stop`) for the next iteration. Nodes visited after
-                # a taken leaf were slab-tested against the pre-leaf tb —
-                # conservative (never skips a node the tighter t would keep),
-                # so correctness is unaffected.
+                # Scalar cursor chase through the window. `stop` parks the
+                # cursor at a SECOND hit leaf (one leaf test per iteration);
+                # nodes visited after the first taken leaf were slab-tested
+                # against the pre-leaf tb — conservative (never skips a node
+                # the tighter t would keep), so correctness is unaffected.
                 cur = c
                 have = jnp.int32(0)
                 stop = jnp.int32(0)
-                f_lo = jnp.int32(0)
-                gates = []  # per window row: scalar 1 if taken hit leaf
+                first = jnp.int32(0)
+                count = jnp.int32(0)
+                lf_row = jnp.int32(0)
                 for i in range(NODE_WIN):
                     hit_i = jnp.max(bh_w[i : i + 1, :]) > 0
                     first_i = blk[i, 6].astype(jnp.int32)
@@ -545,45 +541,42 @@ def _kernel(
                     miss_i = blk[i, 8].astype(jnp.int32)
                     at = (cur == c + i) & (stop == 0)
                     hitleaf = at & hit_i & (cnt_i > 0)
-                    fits = (have == 0) | (first_i + cnt_i - f_lo <= TRI_BLOCK)
-                    take = hitleaf & fits
-                    f_lo = jnp.where(take & (have == 0), first_i, f_lo)
+                    take = hitleaf & (have == 0)
+                    first = jnp.where(take, first_i, first)
+                    count = jnp.where(take, cnt_i, count)
+                    lf_row = jnp.where(take, jnp.int32(i), lf_row)
                     have = jnp.where(take, jnp.int32(1), have)
-                    stop = jnp.where(hitleaf & ~fits, jnp.int32(1), stop)
-                    gates.append(jnp.where(take, jnp.int32(1), jnp.int32(0)))
+                    stop = jnp.where(hitleaf & (have == 1) & ~take, jnp.int32(1), stop)
                     nxt = jnp.where(hit_i, c + i + 1, miss_i)
                     cur = jnp.where(at & (stop == 0), nxt, cur)
                 c_next = cur
                 anyhit = have > 0
+                # Per-lane box gate of the taken leaf's window row (the old
+                # per-node `bh`), selected without dynamic vector indexing.
+                lrows = jax.lax.broadcasted_iota(jnp.int32, (NODE_WIN, TILE), 0)
+                bh = (
+                    jnp.max(jnp.where(lrows == lf_row, bh_w, 0), axis=0, keepdims=True)
+                    > 0
+                )  # (1, T)
 
                 def leaf_fn(carry):
-                    # MULTI-LEAF batched test: every taken leaf's triangles
-                    # live in the DFS-contiguous span [f_lo, f_lo+TRI_BLOCK),
-                    # tested as ONE (B, T) Möller–Trumbore (the same (rows,T)
-                    # layout as the sphere stage; the per-(1,T)-op loop this
-                    # replaced left vregs 7/8 empty). Triangles of leaves the
-                    # cursor skipped (or that nobody's interval hit) are
-                    # masked via their OWNER-NODE column (tris col 13,
-                    # make_tri_tables) and the window's per-row box gates.
+                    # BATCHED leaf test: the whole <=tri_leaf-triangle leaf
+                    # against all TILE lanes as ONE (L, T) Möller–Trumbore —
+                    # the same (rows, T) layout as the sphere stage. The
+                    # former per-triangle sequential loop issued (1, T) ops
+                    # whose vregs are 7/8-empty in the sublane dim; batching
+                    # fills them (measured 1.22 -> see tpu_results.jsonl).
                     if rec_depth:
                         tb2, nx2, ny2, nz2, md2, ti2 = carry
                     else:
                         tb2, nx2, ny2, nz2, md2 = carry
-                    # tris is padded by TRI_BLOCK rows (owner -1, det 0) so a
-                    # full block read at `f_lo` never runs off the end.
-                    blkt = tris_ref[pl.ds(f_lo, TRI_BLOCK), :]  # (B, 16)
+                    # tris is padded by tri_leaf zero rows (make_tri_tables)
+                    # so a full block read at `first` never runs off the end;
+                    # zero rows have det == 0 and fail det_ok.
+                    blk = tris_ref[pl.ds(first, tri_leaf), :]  # (L, 16)
 
                     def bc(c):
-                        return blkt[:, c : c + 1]  # (B, 1)
-
-                    # Per-row valid gate: owner leaf taken this iteration AND
-                    # the lane's interval hit that leaf's box.
-                    wr = bc(13).astype(jnp.int32) - c  # (B, 1) window row
-                    gate = None
-                    for i in range(NODE_WIN):
-                        g = (wr == i) & (gates[i] > 0)  # (B, 1)
-                        term = g & (bh_w[i : i + 1, :] > 0)  # (B, T)
-                        gate = term if gate is None else (gate | term)
+                        return blk[:, c : c + 1]  # (L, 1)
 
                     e1x, e1y, e1z = bc(3), bc(4), bc(5)
                     e2x, e2y, e2z = bc(6), bc(7), bc(8)
@@ -605,7 +598,7 @@ def _kernel(
                     vv = (dx * qvx + dy * qvy + dz * qvz) * invd
                     th = (e2x * qvx + e2y * qvy + e2z * qvz) * invd
                     rows = jax.lax.broadcasted_iota(
-                        jnp.int32, (TRI_BLOCK, TILE), 0
+                        jnp.int32, (tri_leaf, TILE), 0
                     )
                     ok = (
                         det_ok
@@ -614,7 +607,8 @@ def _kernel(
                         & (uu + vv <= 1.0)
                         & (th > t_min)
                         & (th < tb2)
-                        & gate
+                        & bh
+                        & (rows < count)
                     )
                     th_m = jnp.where(ok, th, BIG)
                     tmin = jnp.min(th_m, axis=0, keepdims=True)  # (1, T)
@@ -640,7 +634,7 @@ def _kernel(
                     md2 = pick(12, md2)
                     if rec_depth:
                         tid_val = jnp.sum(
-                            jnp.where(win, (f_lo + rows).astype(jnp.float32), 0.0),
+                            jnp.where(win, (first + rows).astype(jnp.float32), 0.0),
                             axis=0, keepdims=True,
                         )
                         ti2 = jnp.where(better, tid_val, ti2)
@@ -910,7 +904,7 @@ def run_megakernel(
     table,  # (N, C_IN) f32 (cluster-permuted when cbounds is given)
     cbounds=None,  # (K, 8) f32 chunk AABBs (cluster_spheres) or None
     tri_nodes=None,  # (K, 16) f32 flat BVH [lo3, hi3, first, count, miss, pad]
-    tris=None,  # (M, 16) f32 [v0(3), e1(3), e2(3), unit normal(3), mat_id, owner_leaf_node, pad]
+    tris=None,  # (M, 16) f32 [v0(3), e1(3), e2(3), unit normal(3), mat_id, pad]
     mats=None,  # (NM, 24) f32 per-material shading cols (sphere cols 6..23)
     *,
     animated: bool,
@@ -941,7 +935,6 @@ def run_megakernel(
         n_mats = mats.shape[0]
         assert tri_nodes.shape[1] == 16 and tris.shape[1] == 16
         assert mats.shape[1] == 24
-        assert tri_leaf <= TRI_BLOCK, (tri_leaf, TRI_BLOCK)
         extra_in += [_pad_tri_nodes(tri_nodes), tris, mats]
         extra_specs += [
             pl.BlockSpec(
@@ -1022,7 +1015,6 @@ def run_megakernel_record(
     if tri_nodes is not None:
         n_tri_nodes = tri_nodes.shape[0]
         n_mats = mats.shape[0]
-        assert tri_leaf <= TRI_BLOCK, (tri_leaf, TRI_BLOCK)
         extra_in += [_pad_tri_nodes(tri_nodes), tris, mats]
         extra_specs += [
             pl.BlockSpec(
