@@ -98,8 +98,8 @@ def main() -> None:
         assert np.isfinite(img).all()
 
     # --- backward: value_and_grad over a pixel batch ----------------------
-    # Documented fwd+bwd config: book1 768x432 @ 4 spp depth 8 (the largest
-    # batch whose decision records + one-hot chunks fit comfortably); the
+    # Documented fwd+bwd config: book1 1920x1080 @ 4 spp depth 8 — the
+    # north-star pixel geometry (BASELINE.md), 8.3M rays per step; the
     # r1-comparable 192x108 number is also emitted.
     bwd_rps = None
     bwd_small_rps = None
@@ -108,7 +108,7 @@ def main() -> None:
             configs = [("fwd_bwd", 64, 36, 2, 4)]
         else:
             configs = [
-                ("fwd_bwd", 768, 432, 4, 8),
+                ("fwd_bwd", 1920, 1080, 4, 8),
                 ("fwd_bwd_small", 192, 108, 4, 8),
             ]
         params = grad_mod.extract_params(sd, cp)

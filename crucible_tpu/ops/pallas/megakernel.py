@@ -534,8 +534,11 @@ def _kernel(
                 first = jnp.int32(0)
                 count = jnp.int32(0)
                 lf_row = jnp.int32(0)
+                # ONE cross-lane reduce for all window rows (vs NODE_WIN
+                # serial full reduces), then scalar extracts.
+                ah = jnp.max(bh_w, axis=1, keepdims=True)  # (W, 1)
                 for i in range(NODE_WIN):
-                    hit_i = jnp.max(bh_w[i : i + 1, :]) > 0
+                    hit_i = ah[i, 0] > 0
                     first_i = blk[i, 6].astype(jnp.int32)
                     cnt_i = blk[i, 7].astype(jnp.int32)
                     miss_i = blk[i, 8].astype(jnp.int32)
@@ -645,7 +648,11 @@ def _kernel(
                     carry0 = (tb, tnx, tny, tnz, tmid, ttid)
                 else:
                     carry0 = (tb, tnx, tny, tnz, tmid)
-                carry1 = jax.lax.cond(anyhit, leaf_fn, lambda cst: cst, carry0)
+                # UNCONDITIONAL leaf test: ~70% of iterations carry a leaf
+                # (tools/walk_sim.py: 6.3 leaves / 9.2 iters at leaf=128),
+                # so a lax.cond mostly pays its overhead on top of the MT.
+                # With no taken leaf, count==0 masks every row (no-op).
+                carry1 = leaf_fn(carry0)
                 return (c_next,) + carry1
 
             if rec_depth:
