@@ -639,16 +639,16 @@ class Scene:
         models/timeline.py). The reference instead rebuilds its BVH every
         frame and re-evaluates timelines per ray (src/scene/mod.rs:333).
 
-        ``leaf_size=None`` picks a backend default: 128 on accelerators
-        (the megakernel's windowed walk is node-bound — teapot sweep in
-        tools/tpu_results.jsonl: 2.22 Mrays/s @ 32 vs 2.62 @ 128), 32 on
+        ``leaf_size=None`` picks a backend default: 64 on accelerators
+        (best teapot sweep point with the condless windowed walk —
+        tools/tpu_results.jsonl 10:32: 2.54/2.72/2.62 @ 32/64/128), 32 on
         CPU (the staged traversal unrolls leaf_size sequential tests and
         big leaves bloat compile).
         """
         if leaf_size is None:
             import jax as _jax
 
-            leaf_size = 128 if _jax.default_backend() != "cpu" else 32
+            leaf_size = 64 if _jax.default_backend() != "cpu" else 32
         animated = self.is_animated
         if animated and t_open is None:
             t_open, t_close = self.scene_cam.shutter_window()

@@ -32,12 +32,15 @@ integrator.trace_persistent with groups=1: lane p walks pixel p's samples
 pcg4d(pixel, sample, stream, seed) hash (utils/rng.py), so images match
 the staged paths up to f32 association (same sample set, same decisions).
 
-Scope (static predicate `megakernel_supported`): sphere-only scenes,
-solid / checker-of-solid textures, default-gradient sky. Linearly-moving
-spheres are supported (motion columns of the attribute table,
+Scope (static predicate `megakernel_supported`): sphere scenes plus
+static triangle-mesh BVHs (windowed skip-link traversal below), solid /
+checker-of-solid textures, default-gradient sky. Linearly-moving spheres
+are supported (motion columns of the attribute table,
 ops/pallas/sphere_shade.py layout), and so are animated cameras — the
 camera basis is re-derived per ray at its shutter fraction in-kernel,
-mirroring generate_rays' animated branch.
+mirroring generate_rays' animated branch. Image textures / equirect
+skies / nested checkers run the RECORD mode (rec_depth > 0): the kernel
+streams per-bounce decisions and models/replay.py shades them in jnp.
 
 Reference behaviors mirrored: quadratic + nearest-root selection
 (src/objects/sphere.rs:61-105), t_min=1e-3 shadow acne epsilon

@@ -234,6 +234,89 @@ def earthprof(width=400, spp=32, depth=50):
     )
 
 
+def gradprof(w=1920, h=1080, spp=4, depth=8):
+    """Split loss_and_grad cost: record kernel vs replay forward vs the
+    full fwd+bwd, on book1 at the bench config."""
+    from crucible_tpu import grad as G
+    from crucible_tpu.models import demo, replay
+    from crucible_tpu.models.camera import generate_rays
+
+    sc = demo.book1_end_scene(width=400)
+    sd = sc.build()
+    cp = sc.scene_cam.params()
+    params = G.extract_params(sd, cp)
+    pix0 = jnp.arange(w * h, dtype=jnp.uint32)
+    pix = jnp.tile(pix0, spp)
+    smp = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), w * h)
+    seed = jnp.uint32(0)
+
+    def timeit(name, fn):
+        jax.block_until_ready(fn())
+        t0 = time.time()
+        jax.block_until_ready(fn())
+        dt = time.time() - t0
+        log(bench=f"gradprof_{name}", seconds=round(dt, 3),
+            mrays_per_s=round(w * h * spp / dt / 1e6, 2))
+        return dt
+
+    rec = jax.jit(
+        lambda: replay.trace_record_mega(sd, cp, w, h, pix, smp, seed, depth)
+    )
+    timeit("record", rec)
+    ri, rf = rec()
+
+    def fwd():
+        o, d, _ = generate_rays(cp, w, h, pix, smp, seed)
+        return replay.trace_replay(sd, o, d, pix, smp, seed, depth, ri, rf)
+
+    timeit("replay_fwd", jax.jit(fwd))
+
+    target = jnp.zeros((w * h, 3), jnp.float32)
+    kw = dict(width=w, height=h, spp=spp, max_depth=depth, method="replay")
+    timeit(
+        "loss_and_grad",
+        lambda: G.loss_and_grad(params, sd, cp, target, pix0, seed, **kw)[1],
+    )
+
+
+def fetchbench(r=1 << 20, n=512, c=32):
+    """Winner-row fetch strategies: one-hot matmul at HIGHEST vs HIGH
+    precision vs jnp.take row gather, fwd and fwd+bwd."""
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, n, r), jnp.int32)
+    table = jnp.asarray(rng.standard_normal((n, c)), jnp.float32)
+    cols = jnp.arange(n, dtype=jnp.int32)[None, :]
+
+    def mm(prec):
+        def f(tab):
+            onehot = (idx[:, None] == cols).astype(jnp.float32)
+            return jnp.dot(onehot, tab, precision=prec).sum()
+        return f
+
+    def gather(tab):
+        return jnp.take(tab, idx, axis=0).sum()
+
+    for name, f in (
+        ("mm_highest", mm(jax.lax.Precision.HIGHEST)),
+        ("mm_high", mm(jax.lax.Precision.HIGH)),
+        ("take_rows", gather),
+    ):
+        for mode, g in (("fwd", jax.jit(f)), ("grad", jax.jit(jax.grad(f)))):
+            jax.block_until_ready(g(table))
+            t0 = time.time()
+            for _ in range(5):
+                out = g(table)
+            jax.block_until_ready(out)
+            dt = (time.time() - t0) / 5
+            log(bench=f"fetch_{name}_{mode}", ms=round(1000 * dt, 2),
+                r=r, n=n, c=c)
+    # exactness: HIGH vs HIGHEST for one-hot operands
+    a = jnp.dot((idx[:512, None] == cols).astype(jnp.float32), table,
+                precision=jax.lax.Precision.HIGH)
+    b = jnp.take(table, idx[:512], axis=0)
+    log(bench="fetch_high_exact", max_abs_diff=float(jnp.abs(a - b).max()))
+
+
 def r2():
     demos()
     leafsweep()
@@ -253,5 +336,5 @@ if __name__ == "__main__":
     {
         "quick": quick, "full": full, "micro": micro, "demos": demos,
         "grad": grad, "leafsweep": leafsweep, "r2": r2,
-        "earthprof": earthprof,
+        "earthprof": earthprof, "gradprof": gradprof, "fetchbench": fetchbench,
     }[mode]()
