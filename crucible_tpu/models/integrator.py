@@ -678,7 +678,30 @@ def make_tri_tables(sd: SceneData):
         ],
         axis=1,
     )
-    return tri_nodes, tris, mats
+    # Flat int32 node metadata [first, count, miss] per node, padded with
+    # NODE_WIN guard rows (count 0, miss = K) — lives in SMEM so the
+    # kernel's scalar cursor chase reads it without syncing on the vector
+    # pipeline (the f32 metadata columns of tri_nodes are legacy and
+    # unread by the kernel).
+    from crucible_tpu.ops.pallas.megakernel import NODE_WIN
+
+    guard = jnp.broadcast_to(
+        jnp.asarray([0, 0, k], jnp.int32), (NODE_WIN, 3)
+    )
+    tri_meta = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    sd.bvh_first.astype(jnp.int32),
+                    sd.bvh_count.astype(jnp.int32),
+                    sd.bvh_miss.astype(jnp.int32),
+                ],
+                axis=1,
+            ),
+            guard,
+        ]
+    ).reshape(-1)
+    return tri_nodes, tris, mats, tri_meta
 
 
 def mega_cam_vector(cp, width: int, height: int):
@@ -809,12 +832,12 @@ def trace_persistent_mega(
             table = jnp.pad(table, ((0, n_pad - table.shape[0]), (0, 0)))
         table = jnp.take(table, cluster_perm, axis=0)
     if sd.num_tris > 0:
-        tri_nodes, tris, mats = make_tri_tables(sd)
+        tri_nodes, tris, mats, tri_meta = make_tri_tables(sd)
     else:
-        tri_nodes = tris = mats = None
+        tri_nodes = tris = mats = tri_meta = None
     acc = mk.run_megakernel(
         smem, pix, sample0, cam, table, cluster_bounds,
-        tri_nodes, tris, mats,
+        tri_nodes, tris, mats, tri_meta,
         animated=bool(sd.animated), cam_animated=bool(cp.animated),
         tri_leaf=sd.bvh_leaf_size,
         interpret=interpret,

@@ -215,9 +215,9 @@ def trace_record_mega(
     )
     table = integrator.make_sphere_table(sd)
     if sd.num_tris > 0:
-        tri_nodes, tris, mats = integrator.make_tri_tables(sd)
+        tri_nodes, tris, mats, tri_meta = integrator.make_tri_tables(sd)
     else:
-        tri_nodes = tris = mats = None
+        tri_nodes = tris = mats = tri_meta = None
     _, rec_idx, rec_flags = mk.run_megakernel_record(
         smem,
         pix.reshape(1, r_pad),
@@ -227,6 +227,7 @@ def trace_record_mega(
         tri_nodes,
         tris,
         mats,
+        tri_meta,
         max_depth=int(max_depth),
         animated=bool(sd.animated),
         cam_animated=bool(cp.animated),
@@ -268,7 +269,7 @@ def trace_replay(
     r = o.shape[0]
     table = integrator.make_sphere_table(sd)  # (N, 32), differentiable
     if sd.num_tris > 0:
-        _, _, mats = integrator.make_tri_tables(sd)  # (L, 24)
+        _, _, mats, _ = integrator.make_tri_tables(sd)  # (L, 24)
     else:
         mats = None
     if sd.animated:

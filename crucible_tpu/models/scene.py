@@ -630,7 +630,7 @@ class Scene:
         )
 
     # --- lowering -----------------------------------------------------------
-    def build(self, t_open: float | None = None, t_close: float | None = None, leaf_size: int | None = None) -> SceneData:
+    def build(self, t_open: float | None = None, t_close: float | None = None, leaf_size: int | None = None, bvh_method: str = "sah") -> SceneData:
         """Lower the element list to a SceneData pytree (cached per shutter
         window until the scene is mutated).
 
@@ -644,6 +644,10 @@ class Scene:
         tools/tpu_results.jsonl 10:32: 2.54/2.72/2.62 @ 32/64/128), 32 on
         CPU (the staged traversal unrolls leaf_size sequential tests and
         big leaves bloat compile).
+
+        ``bvh_method="sah"`` (default) uses the binned surface-area-heuristic
+        split (ops/bvh.py::_sah_split); ``"median"`` reproduces the
+        reference's sort + median-count topology (bvhwrapper.rs:46-80).
         """
         if leaf_size is None:
             import jax as _jax
@@ -652,7 +656,7 @@ class Scene:
         animated = self.is_animated
         if animated and t_open is None:
             t_open, t_close = self.scene_cam.shutter_window()
-        key = ((t_open, t_close) if animated else None, leaf_size)
+        key = ((t_open, t_close) if animated else None, leaf_size, bvh_method)
         if self._cache is not None and self._cache_key == key:
             return self._cache
 
@@ -733,7 +737,7 @@ class Scene:
                 # stale-inner-node problem, SURVEY.md §2.2).
                 lo = np.minimum(va.min(axis=1), vb.min(axis=1))
                 hi = np.maximum(va.max(axis=1), vb.max(axis=1))
-                bvh = build_bvh(lo, hi, leaf_size=leaf_size)
+                bvh = build_bvh(lo, hi, leaf_size=leaf_size, method=bvh_method)
                 perm = bvh.perm
                 v0, v1, v2, t_mat = v0[perm], v1[perm], v2[perm], t_mat[perm]
                 v0b, v1b, v2b = v0b[perm], v1b[perm], v2b[perm]

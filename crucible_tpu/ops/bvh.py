@@ -44,8 +44,80 @@ class FlatBVH:
         return len(self.node_min)
 
 
+_SAH_BINS = 16
+
+
+def _sah_split(span, centers, bb_min, bb_max, leaf_size=0):
+    """Binned SAH split of ``span``: pick the (axis, plane) minimizing
+    N_L*Area_L + N_R*Area_R over 16 centroid bins per axis; returns
+    (left, right) index arrays. Falls back to a longest-axis median when
+    every candidate is degenerate (all centroids coincident).
+
+    With ``leaf_size > 0`` the split COUNT is snapped to the nearest
+    multiple of leaf_size (ordering by centroid along the SAH axis): the
+    megakernel's leaf test always costs ``tri_leaf`` MT rows regardless of
+    the leaf's fill, so partially-filled leaves burn rows for nothing —
+    snapping makes every leaf full except one ragged tail per subtree
+    (measured in tools/walk_sim.py)."""
+    c = centers[span]
+    clo, chi = c.min(axis=0), c.max(axis=0)
+    best = None  # (cost, axis, bin_id, bin_of)
+    for axis in range(3):
+        extent = chi[axis] - clo[axis]
+        if extent <= 0:
+            continue
+        t = (c[:, axis] - clo[axis]) * (_SAH_BINS / extent)
+        bin_of = np.minimum(t.astype(np.int64), _SAH_BINS - 1)
+        counts = np.bincount(bin_of, minlength=_SAH_BINS)
+        blo = np.full((_SAH_BINS, 3), np.inf)
+        bhi = np.full((_SAH_BINS, 3), -np.inf)
+        np.minimum.at(blo, bin_of, bb_min[span])
+        np.maximum.at(bhi, bin_of, bb_max[span])
+        # prefix (left-of-plane) and suffix (right-of-plane) sweeps
+        l_lo = np.minimum.accumulate(blo, axis=0)
+        l_hi = np.maximum.accumulate(bhi, axis=0)
+        r_lo = np.minimum.accumulate(blo[::-1], axis=0)[::-1]
+        r_hi = np.maximum.accumulate(bhi[::-1], axis=0)[::-1]
+        n_l = np.cumsum(counts)[:-1]
+        n_r = len(span) - n_l
+
+        def area(lo, hi):
+            d = np.maximum(hi - lo, 0.0)
+            return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+
+        cost = n_l * area(l_lo, l_hi)[:-1] + n_r * area(r_lo, r_hi)[1:]
+        cost = np.where((n_l == 0) | (n_r == 0), np.inf, cost)
+        b = int(np.argmin(cost))
+        if np.isfinite(cost[b]) and (best is None or cost[b] < best[0]):
+            best = (float(cost[b]), axis, b, bin_of)
+    if best is None:
+        axis = int(np.argmax(bb_max[span].max(0) - bb_min[span].min(0)))
+        order = span[np.argsort(bb_min[span, axis], kind="stable")]
+        k = len(order) // 2
+        if leaf_size:
+            k = _snap_count(k, len(order), leaf_size)
+        return order[:k], order[k:]
+    _, axis, b, bin_of = best
+    if not leaf_size:
+        mask = bin_of <= b
+        return span[mask], span[~mask]
+    order = span[np.argsort(c[:, axis], kind="stable")]
+    k = _snap_count(int(np.count_nonzero(bin_of <= b)), len(order), leaf_size)
+    return order[:k], order[k:]
+
+
+def _snap_count(k, n, leaf_size):
+    """Round split count k to the nearest multiple of leaf_size in (0, n)."""
+    k = int(round(k / leaf_size)) * leaf_size
+    return max(leaf_size, min(k, ((n - 1) // leaf_size) * leaf_size))
+
+
 def build_bvh(
-    bb_min: np.ndarray, bb_max: np.ndarray, leaf_size: int = 4, use_native: bool = True
+    bb_min: np.ndarray,
+    bb_max: np.ndarray,
+    leaf_size: int = 4,
+    use_native: bool = True,
+    method: str = "median",
 ) -> FlatBVH:
     """Build a flat BVH over M primitive AABBs.
 
@@ -57,8 +129,15 @@ def build_bvh(
         better for vectorized leaf tests).
       use_native: try the C++ builder (crucible_tpu/native) first — same
         topology, much faster for large meshes; falls back silently.
+      method: "median" reproduces the reference's sort + median-count split
+        (bvhwrapper.rs:46-80); "sah" is a binned surface-area-heuristic
+        split (16 centroid bins per axis). SAH produces spatially tighter,
+        less-overlapping children, which matters doubly for the megakernel's
+        TILE-coherent traversal: a tile descends into every node ANY of its
+        512 lanes hits, so child overlap multiplies union-leaf visits
+        (tools/walk_sim.py measures the difference).
     """
-    if use_native:
+    if use_native and method == "median":
         from crucible_tpu import native
 
         out = native.build_bvh_native(bb_min, bb_max, leaf_size)
@@ -95,11 +174,15 @@ def build_bvh(
             node_count[idx] = len(span)
             perm.extend(span.tolist())
             return idx
-        axis = int(np.argmax(hi - lo))  # longest_axis (bvh.rs:82-94)
-        order = span[np.argsort(bb_min[span, axis], kind="stable")]
-        mid = len(order) // 2
-        build(order[:mid], idx)
-        build(order[mid:], idx)
+        if method == "sah":
+            left, right = _sah_split(span, centers, bb_min, bb_max, leaf_size)
+        else:
+            axis = int(np.argmax(hi - lo))  # longest_axis (bvh.rs:82-94)
+            order = span[np.argsort(bb_min[span, axis], kind="stable")]
+            mid = len(order) // 2
+            left, right = order[:mid], order[mid:]
+        build(left, idx)
+        build(right, idx)
         return idx
 
     import sys

@@ -228,8 +228,8 @@ def _kernel(
     rest = list(rest)
     cbounds_ref = rest.pop(0) if n_chunks else None
     if n_tri_nodes:
-        tnodes_ref, tris_ref, mats_ref = rest[0], rest[1], rest[2]
-        rest = rest[3:]
+        tnodes_ref, tris_ref, mats_ref, tmeta_ref = rest[:4]
+        rest = rest[4:]
     if rec_depth:
         # RECORD MODE (models/replay.py): each lane traces exactly ONE
         # (pixel, sample) path — sample0 holds the sample id and the loop
@@ -531,20 +531,35 @@ def _kernel(
                 # nodes visited after the first taken leaf were slab-tested
                 # against the pre-leaf tb — conservative (never skips a node
                 # the tighter t would keep), so correctness is unaffected.
+                #
+                # The chase syncs on the vector pipeline exactly ONCE: the
+                # window's per-row any-hit bits are packed into a single
+                # scalar word (hm) read from one (1,1) reduce; node metadata
+                # (first/count/miss) comes from SMEM (tmeta_ref), so the 8
+                # unrolled steps are pure scalar ALU + SMEM reads instead of
+                # 8 serial reads of a just-computed vector result.
                 cur = c
                 have = jnp.int32(0)
                 stop = jnp.int32(0)
                 first = jnp.int32(0)
                 count = jnp.int32(0)
                 lf_row = jnp.int32(0)
-                # ONE cross-lane reduce for all window rows (vs NODE_WIN
-                # serial full reduces), then scalar extracts.
                 ah = jnp.max(bh_w, axis=1, keepdims=True)  # (W, 1)
+                wrow = jax.lax.broadcasted_iota(jnp.int32, (NODE_WIN, 1), 0)
+                # Per-row weight 2^i as a select chain (vector<<vector shifts
+                # are outside Mosaic's proven surface).
+                pw = jnp.int32(1)
+                for i in range(1, NODE_WIN):
+                    pw = jnp.where(wrow == i, jnp.int32(1 << i), pw)
+                hm_v = jnp.sum(
+                    ah * pw, axis=0, keepdims=True
+                )  # (1, 1) — bit i set iff window row i has any lane hit
+                hm = hm_v[0, 0]
                 for i in range(NODE_WIN):
-                    hit_i = ah[i, 0] > 0
-                    first_i = blk[i, 6].astype(jnp.int32)
-                    cnt_i = blk[i, 7].astype(jnp.int32)
-                    miss_i = blk[i, 8].astype(jnp.int32)
+                    hit_i = (_srl(hm, i) & 1) > 0
+                    first_i = tmeta_ref[3 * (c + i)]
+                    cnt_i = tmeta_ref[3 * (c + i) + 1]
+                    miss_i = tmeta_ref[3 * (c + i) + 2]
                     at = (cur == c + i) & (stop == 0)
                     hitleaf = at & hit_i & (cnt_i > 0)
                     take = hitleaf & (have == 0)
@@ -913,9 +928,10 @@ def run_megakernel(
     cam,  # (1, CAM_SIZE) f32
     table,  # (N, C_IN) f32 (cluster-permuted when cbounds is given)
     cbounds=None,  # (K, 8) f32 chunk AABBs (cluster_spheres) or None
-    tri_nodes=None,  # (K, 16) f32 flat BVH [lo3, hi3, first, count, miss, pad]
+    tri_nodes=None,  # (K, 16) f32 flat BVH [lo3, hi3, legacy meta, pad]
     tris=None,  # (M, 16) f32 [v0(3), e1(3), e2(3), unit normal(3), mat_id, pad]
     mats=None,  # (NM, 24) f32 per-material shading cols (sphere cols 6..23)
+    tri_meta=None,  # (3*(K+NODE_WIN),) i32 [first,count,miss] per node, SMEM
     *,
     animated: bool,
     cam_animated: bool = False,
@@ -945,7 +961,8 @@ def run_megakernel(
         n_mats = mats.shape[0]
         assert tri_nodes.shape[1] == 16 and tris.shape[1] == 16
         assert mats.shape[1] == 24
-        extra_in += [_pad_tri_nodes(tri_nodes), tris, mats]
+        assert tri_meta.shape == (3 * (n_tri_nodes + NODE_WIN),)
+        extra_in += [_pad_tri_nodes(tri_nodes), tris, mats, tri_meta]
         extra_specs += [
             pl.BlockSpec(
                 (n_tri_nodes + NODE_WIN, 16),
@@ -956,6 +973,7 @@ def run_megakernel(
                 (tris.shape[0], 16), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((n_mats, 24), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
 
     kernel = functools.partial(
@@ -999,6 +1017,7 @@ def run_megakernel_record(
     tri_nodes=None,
     tris=None,
     mats=None,
+    tri_meta=None,
     *,
     max_depth: int,  # STATIC here — sizes the record buffers
     animated: bool,
@@ -1025,7 +1044,8 @@ def run_megakernel_record(
     if tri_nodes is not None:
         n_tri_nodes = tri_nodes.shape[0]
         n_mats = mats.shape[0]
-        extra_in += [_pad_tri_nodes(tri_nodes), tris, mats]
+        assert tri_meta.shape == (3 * (n_tri_nodes + NODE_WIN),)
+        extra_in += [_pad_tri_nodes(tri_nodes), tris, mats, tri_meta]
         extra_specs += [
             pl.BlockSpec(
                 (n_tri_nodes + NODE_WIN, 16),
@@ -1036,6 +1056,7 @@ def run_megakernel_record(
                 (tris.shape[0], 16), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((n_mats, 24), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
     # The loop's depth gate reads smem[3]; the record rows are sized by the
     # static max_depth — they must agree or records would run off the block.

@@ -182,6 +182,36 @@ def leafsweep(width=400, spp=32, depth=50, sizes=(32, 64, 128)):
         )
 
 
+def teapotx(width=400, spp=32, depth=50):
+    """Teapot traversal experiment matrix: median vs SAH builds across leaf
+    sizes, plus a mesh-hidden run that isolates the kernel's NON-traversal
+    cost (sphere stage + shading + regen at the same tile schedule)."""
+    from crucible_tpu.models import demo, render
+
+    def run(tag, sd, cp, w, h):
+        render.render_image_persistent(sd, cp, w, h, 2, depth, 0)
+        t0 = time.time()
+        img = render.render_image_persistent(sd, cp, w, h, spp, depth, 0)
+        dt = time.time() - t0
+        log(bench=f"teapotx_{tag}", spp=spp, seconds=round(dt, 3),
+            mrays_per_s=round(w * h * spp / dt / 1e6, 2),
+            mean=round(float(img.mean()), 4))
+
+    for method in ("median", "sah"):
+        for ls in (64, 128, 256):
+            sc = demo.load_teapot(width=width)
+            sd = sc.build(leaf_size=ls, bvh_method=method)
+            cp = sc.scene_cam.params()
+            w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
+            run(f"{method}{ls}", sd, cp, w, h)
+    sc = demo.load_teapot(width=width)
+    sc.hide_element("teapot")
+    sd = sc.build()
+    cp = sc.scene_cam.params()
+    w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
+    run("hidden", sd, cp, w, h)
+
+
 def earthprof(width=400, spp=32, depth=50):
     """Split the earth demo's record-schedule cost: record kernel vs replay
     vs live-row count, steady state (one chunk, compiled out of the timing)."""
@@ -337,4 +367,5 @@ if __name__ == "__main__":
         "quick": quick, "full": full, "micro": micro, "demos": demos,
         "grad": grad, "leafsweep": leafsweep, "r2": r2,
         "earthprof": earthprof, "gradprof": gradprof, "fetchbench": fetchbench,
+        "teapotx": teapotx,
     }[mode]()

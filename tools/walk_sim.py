@@ -109,8 +109,9 @@ def main():
     d = np.asarray(d, np.float64)
 
     global TRI
-    for leaf in (32, 64, 128, 256):
-        sd = sc.build(leaf_size=leaf)
+    for method in ("median", "sah"):
+      for leaf in (32, 64, 128, 256):
+        sd = sc.build(leaf_size=leaf, bvh_method=method)
         v0 = np.asarray(sd.tri_v0, np.float64)
         v1 = np.asarray(sd.tri_v1, np.float64)
         v2 = np.asarray(sd.tri_v2, np.float64)
@@ -122,6 +123,23 @@ def main():
             np.asarray(sd.bvh_count),
             np.asarray(sd.bvh_miss),
         )
+        # Starting best-t = the ground-sphere hit (the kernel's sphere stage
+        # runs FIRST, so traversal begins with its t — big culling effect
+        # for below-horizon rays the BIG start misses).
+        gc = np.array([0.0, -1000.0, 0.0])
+        gr = 1000.0
+        oc = o - gc
+        b_half = (d * oc).sum(axis=1)
+        a_q = (d * d).sum(axis=1)
+        c_q = (oc * oc).sum(axis=1) - gr * gr
+        disc = b_half * b_half - a_q * c_q
+        sq = np.sqrt(np.maximum(disc, 0.0))
+        r0 = (-b_half - sq) / a_q
+        r1 = (-b_half + sq) / a_q
+        tg = np.where(r0 > 1e-3, r0, np.where(r1 > 1e-3, r1, np.inf))
+        tground = np.where(disc >= 0, tg, np.inf)
+        tground = np.minimum(tground, 3.0e38)
+
         for win in (8, 16, 32):
             tot_it = tot_lf = tot_rows = 0
             ntiles = 0
@@ -129,14 +147,14 @@ def main():
                 if (s // 512) % 7:  # sample tiles for speed
                     continue
                 sl = slice(s, min(s + 512, p))
-                t0 = np.full(o[sl].shape[0], 3.0e38)
+                t0 = tground[sl].copy()
                 it, lf, rows = simulate_tile(o[sl], d[sl], t0, nodes, win)
                 tot_it += it
                 tot_lf += lf
                 tot_rows += rows
                 ntiles += 1
             print(
-                f"leaf={leaf:3d} win={win:2d} nodes={nodes[0].shape[0]:4d} "
+                f"{method:6s} leaf={leaf:3d} win={win:2d} nodes={nodes[0].shape[0]:4d} "
                 f"iters/tile={tot_it/ntiles:6.1f} leaves/tile={tot_lf/ntiles:6.1f} "
                 f"node_rows/tile={tot_rows/ntiles:7.1f}"
             )
