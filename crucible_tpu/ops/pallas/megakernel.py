@@ -666,11 +666,11 @@ def _kernel(
                     carry0 = (tb, tnx, tny, tnz, tmid, ttid)
                 else:
                     carry0 = (tb, tnx, tny, tnz, tmid)
-                # UNCONDITIONAL leaf test: ~70% of iterations carry a leaf
-                # (tools/walk_sim.py: 6.3 leaves / 9.2 iters at leaf=128),
-                # so a lax.cond mostly pays its overhead on top of the MT.
-                # With no taken leaf, count==0 masks every row (no-op).
-                carry1 = leaf_fn(carry0)
+                # Skip the MT when the window took no leaf (~26% of
+                # iterations at leaf=64, tools/walk_sim.py). The cond's
+                # carries are six (1, T) rows — small enough that the cond
+                # overhead undercuts the (tri_leaf, T) MT it skips.
+                carry1 = jax.lax.cond(have > 0, leaf_fn, lambda c: c, carry0)
                 return (c_next,) + carry1
 
             if rec_depth:
