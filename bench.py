@@ -23,10 +23,7 @@ import re
 import time
 
 
-def _device_healthy(timeout_s: float = 90.0) -> bool:
-    """Probe the accelerator in a subprocess: the axon tunnel can wedge
-    indefinitely (host-side compile helper), and a hung bench is worse than
-    a CPU bench. Returns False if a tiny op can't complete in time."""
+def _probe_once(timeout_s: float) -> bool:
     import subprocess
     import sys
 
@@ -44,6 +41,31 @@ def _device_healthy(timeout_s: float = 90.0) -> bool:
         return False
 
 
+def _device_healthy() -> bool:
+    """Probe the accelerator in a subprocess: the axon tunnel can wedge
+    (host-side compile helper), and a hung bench is worse than a CPU bench.
+
+    The tunnel's wedges DRAIN (queued device executions finish serially —
+    CLAUDE.md), so one failed probe must not demote the round's evidence to
+    a CPU number (VERDICT r2 weak #1): retry with backoff for up to ~10
+    minutes before falling back."""
+    import sys
+    import time as _t
+
+    waits = [0, 30, 60, 120, 240]  # ~7.5 min of backoff + 5 x 90 s probes
+    for i, wait in enumerate(waits):
+        if wait:
+            print(
+                f"bench: accelerator probe {i}/{len(waits)} failed; "
+                f"retrying in {wait}s (tunnel wedges drain)",
+                file=sys.stderr,
+            )
+            _t.sleep(wait)
+        if _probe_once(90.0):
+            return True
+    return False
+
+
 def main() -> None:
     width = int(os.environ.get("BENCH_WIDTH", 1920))
     spp = int(os.environ.get("BENCH_SPP", 32))
@@ -52,11 +74,14 @@ def main() -> None:
 
     import jax
 
+    cpu_fallback = False
     if not _device_healthy():
         print(
-            "bench: accelerator unresponsive, falling back to CPU",
+            "bench: accelerator unresponsive after retries, falling back to "
+            "CPU — this run is NOT comparable to TPU rounds",
             file=__import__("sys").stderr,
         )
+        cpu_fallback = True
         jax.config.update("jax_platforms", "cpu")
         width = min(width, int(os.environ.get("BENCH_CPU_WIDTH", 192)))
         spp = min(spp, 4)
@@ -132,23 +157,28 @@ def main() -> None:
             else:
                 bwd_small_rps = bw * bh * bspp / bwd_s
 
-    # --- vs_baseline: previous round's recorded bench ---------------------
-    vs = 1.0
-    prev = sorted(glob.glob("BENCH_r*.json"))
-    if prev:
-        try:
-            with open(prev[-1]) as f:
-                prev_val = json.load(f).get("value")
-            if prev_val:
-                vs = fwd_rps / float(prev_val)
-        except Exception:
-            pass
+    # --- vs_baseline: latest previous round that ran on TPU ---------------
+    # CPU fallbacks (BENCH_r02) are non-comparable: skip them when picking
+    # the comparison-of-record, and emit null when THIS run is a fallback.
+    vs = None if cpu_fallback else 1.0
+    if not cpu_fallback:
+        for path in sorted(glob.glob("BENCH_r*.json"), reverse=True):
+            try:
+                with open(path) as f:
+                    prev = json.load(f)
+                if prev.get("backend", "tpu") == "cpu":
+                    continue
+                if prev.get("value"):
+                    vs = fwd_rps / float(prev["value"])
+                    break
+            except Exception:
+                continue
 
     out = {
         "metric": f"book1_{width}w_fwd_primary_rays_per_sec",
         "value": round(fwd_rps, 1),
         "unit": "rays/s",
-        "vs_baseline": round(vs, 3),
+        "vs_baseline": round(vs, 3) if vs is not None else None,
         "spp": spp,
         "depth": depth,
         "fwd_seconds": round(fwd_s, 2),

@@ -23,6 +23,7 @@ import numpy as np
 from crucible_tpu.models import integrator
 from crucible_tpu.models.camera import CameraParams
 from crucible_tpu.models.scene import SceneData
+from crucible_tpu.utils import backend
 
 
 def extract_params(sd: SceneData, cp: CameraParams) -> Dict[str, Any]:
@@ -84,14 +85,25 @@ def render_pixels_mean(
 
     sd, cp = apply_params(sd, cp, params)
     if method == "auto":
-        method = "replay" if replay_mod.replay_supported(sd) else "ad"
+        if replay_mod.replay_supported(sd):
+            method = "replay"
+        else:
+            import sys
+
+            print(
+                "crucible_tpu: WARNING: scene outside replay-gradient "
+                "coverage (see replay.replay_supported); using the direct-AD "
+                "estimator (slower, memory-heavy at large pixel batches)",
+                file=sys.stderr,
+            )
+            method = "ad"
     p = pixel_ids.shape[0]
     pix = jnp.tile(pixel_ids, spp)
     smp = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), p)
     if method == "replay":
         rad = replay_mod.render_rays_replay(
             sd, cp, width, height, pix, smp, seed, max_depth,
-            use_pallas=jax.default_backend() != "cpu",
+            use_pallas=backend.on_accelerator(),
         )
     else:
         rad = integrator.render_rays(

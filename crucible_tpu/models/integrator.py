@@ -596,8 +596,14 @@ def megakernel_supported(sd: SceneData, cp) -> bool:
     sky. Moving spheres and animated cameras (per-ray basis re-derivation
     in-kernel) are supported; triangle meshes are supported when they carry
     a BVH and are static (the in-kernel traversal reads static vertex
-    data), else the staged path handles them."""
-    tris_ok = sd.num_tris == 0 or (sd.use_bvh and not sd.animated)
+    data), else the staged path handles them. Very large BVHs fall back:
+    node metadata lives in SMEM, capped at megakernel.MAX_TRI_NODES (raise
+    leaf_size to shrink the node count)."""
+    from crucible_tpu.ops.pallas.megakernel import MAX_TRI_NODES
+
+    tris_ok = sd.num_tris == 0 or (
+        sd.use_bvh and not sd.animated and sd.bvh_min.shape[0] <= MAX_TRI_NODES
+    )
     return (
         len(sd.tex.images) == 0
         and sd.tex.max_nest <= 1
@@ -617,9 +623,13 @@ def megakernel_record_supported(sd: SceneData, cp) -> bool:
     geometry + material scalars — so image textures, equirect skyboxes and
     nested checkers are all fine here; the decision records feed the jnp
     replay, whose XLA gathers handle the texel/sky lookups. Only the
-    geometry stage's limits remain: static BVH triangles, no exact per-ray
-    timeline evaluation."""
-    tris_ok = sd.num_tris == 0 or (sd.use_bvh and not sd.animated)
+    geometry stage's limits remain: static BVH triangles (node count within
+    the SMEM cap), no exact per-ray timeline evaluation."""
+    from crucible_tpu.ops.pallas.megakernel import MAX_TRI_NODES
+
+    tris_ok = sd.num_tris == 0 or (
+        sd.use_bvh and not sd.animated and sd.bvh_min.shape[0] <= MAX_TRI_NODES
+    )
     return (
         tris_ok
         and not sd.motion_exact

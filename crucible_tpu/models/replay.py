@@ -57,6 +57,7 @@ from crucible_tpu.ops import intersect
 from crucible_tpu.ops.gather import take_rows_mm
 from crucible_tpu.utils import rng as crng
 from crucible_tpu.utils import vec
+from crucible_tpu.utils import backend
 
 T_MIN = integrator.T_MIN
 
@@ -488,7 +489,7 @@ def _record_replay_chunk(
     smp_rec = jnp.where(smp < spp_total, smp, jnp.uint32(2**30))
     rec_idx, rec_flags = trace_record_mega(
         sd, cp, width, height, pix, smp_rec, seed, max_depth,
-        interpret=jax.default_backend() == "cpu",
+        interpret=backend.pallas_interpret(),
     )
     k = min(SPLIT_DEPTH, max_depth)
     if max_depth <= k + 2:
@@ -608,7 +609,7 @@ def render_rays_replay(
             "mega"
             if (
                 integrator.megakernel_record_supported(sd, cp)
-                and jax.default_backend() != "cpu"
+                and backend.on_accelerator()
             )
             else "staged"
         )
@@ -627,7 +628,7 @@ def render_rays_replay(
             sample_ids,
             seed,
             max_depth,
-            interpret=jax.default_backend() == "cpu",
+            interpret=backend.pallas_interpret(),
         )
     else:
         rec_idx, rec_flags = trace_record(

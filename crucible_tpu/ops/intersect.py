@@ -22,6 +22,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from crucible_tpu.utils import backend
 import numpy as np
 
 # Plain NumPy so importing never initializes a JAX backend.
@@ -70,7 +71,7 @@ def hit_spheres(o, d, centers, radii, active, t_min, t_max):
         and math.isinf(t_max)
         and o.shape[0] % 512 == 0
         and centers.shape[0] % 8 == 0
-        and jax.default_backend() != "cpu"
+        and backend.on_accelerator()
     )
     return _closest_hit(
         o, d, centers, radii,

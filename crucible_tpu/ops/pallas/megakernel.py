@@ -64,6 +64,14 @@ BIG = np.float32(3.0e38)
 TILE = 512
 C_IN = 32  # sphere attribute table columns (sphere_shade.py layout)
 NODE_WIN = 8  # BVH nodes slab-tested per traversal iteration (one (W,T) batch)
+# The window's any-hit bits pack into ONE int32 word (1 << i per row); more
+# than 31 rows would overflow the shift and corrupt traversal (ADVICE r2).
+assert NODE_WIN <= 31, "hit-mask packing holds at most 31 window rows"
+# tri_meta lives in SMEM as 3*(K+NODE_WIN) int32. TPU scalar memory is tens
+# of KiB; cap the node count well under it so an oversized BVH fails here
+# with a clear message instead of an opaque Mosaic compile error (ADVICE
+# r2). Raise bvh leaf_size to shrink K for larger meshes.
+MAX_TRI_NODES = 4096  # 3*(4096+W)*4 B ≈ 48 KiB of SMEM
 
 # Camera constant vector layout (1, 48) f32.
 # Static-camera slots (precomputed basis — models/camera.py::generate_rays):
@@ -958,6 +966,12 @@ def run_megakernel(
         )
     if tri_nodes is not None:
         n_tri_nodes = tri_nodes.shape[0]
+        if n_tri_nodes > MAX_TRI_NODES:
+            raise ValueError(
+                f"BVH has {n_tri_nodes} nodes > MAX_TRI_NODES="
+                f"{MAX_TRI_NODES} (tri_meta would exceed TPU SMEM); raise "
+                f"leaf_size in Scene.build or use the staged schedule"
+            )
         n_mats = mats.shape[0]
         assert tri_nodes.shape[1] == 16 and tris.shape[1] == 16
         assert mats.shape[1] == 24
@@ -1043,6 +1057,12 @@ def run_megakernel_record(
     extra_specs = []
     if tri_nodes is not None:
         n_tri_nodes = tri_nodes.shape[0]
+        if n_tri_nodes > MAX_TRI_NODES:
+            raise ValueError(
+                f"BVH has {n_tri_nodes} nodes > MAX_TRI_NODES="
+                f"{MAX_TRI_NODES} (tri_meta would exceed TPU SMEM); raise "
+                f"leaf_size in Scene.build or use the staged schedule"
+            )
         n_mats = mats.shape[0]
         assert tri_meta.shape == (3 * (n_tri_nodes + NODE_WIN),)
         extra_in += [_pad_tri_nodes(tri_nodes), tris, mats, tri_meta]

@@ -23,6 +23,7 @@ from crucible_tpu.models import integrator
 from crucible_tpu.models.camera import CameraParams
 from crucible_tpu.models.scene import Scene, SceneData
 from crucible_tpu.parallel import mesh as mesh_mod
+from crucible_tpu.utils import backend
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "max_depth", "use_pallas"))
@@ -72,6 +73,15 @@ def render_image_sharded_mega(
     cam = scene.scene_cam
     cp = cam.params()
     if not integrator.megakernel_supported(sd, cp):
+        import sys
+
+        print(
+            "crucible_tpu: WARNING: scene not megakernel-eligible "
+            "(image textures / equirect sky / animated mesh); "
+            "render_image_sharded_mega falling back to the staged sharded "
+            "path (~10x slower on real chips)",
+            file=sys.stderr,
+        )
         return render_image_sharded(scene, mesh, samples, max_depth, seed)
     w, h = cam.image_width, cam.image_height
     spp = samples if samples is not None else cam.samples
@@ -81,7 +91,7 @@ def render_image_sharded_mega(
     ndev = mesh.devices.size
     band_h = (h + ndev - 1) // ndev
     row0s = jnp.arange(ndev, dtype=jnp.int32) * band_h
-    interpret = jax.default_backend() == "cpu"
+    interpret = backend.pallas_interpret()
 
     def shard_fn(sd_, cp_, row0_, spp_, seed_):
         fb = integrator.trace_persistent_mega(

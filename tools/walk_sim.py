@@ -123,21 +123,28 @@ def main():
             np.asarray(sd.bvh_count),
             np.asarray(sd.bvh_miss),
         )
-        # Starting best-t = the ground-sphere hit (the kernel's sphere stage
-        # runs FIRST, so traversal begins with its t — big culling effect
-        # for below-horizon rays the BIG start misses).
-        gc = np.array([0.0, -1000.0, 0.0])
-        gr = 1000.0
-        oc = o - gc
-        b_half = (d * oc).sum(axis=1)
+        # Starting best-t = closest SPHERE hit from the built scene (the
+        # kernel's sphere stage runs FIRST, so traversal begins with its t —
+        # big culling effect for below-horizon rays the BIG start misses).
+        # Derived from sd rather than hardcoding the demo's ground sphere so
+        # the simulator tracks demo.load_teapot's actual geometry (ADVICE r2).
+        tground = np.full((o.shape[0],), np.inf)
+        centers = np.asarray(sd.sph_center, np.float64)
+        radii = np.asarray(sd.sph_radius, np.float64)
+        active = np.asarray(sd.sph_active, bool) if hasattr(sd, "sph_active") else np.ones(len(radii), bool)
         a_q = (d * d).sum(axis=1)
-        c_q = (oc * oc).sum(axis=1) - gr * gr
-        disc = b_half * b_half - a_q * c_q
-        sq = np.sqrt(np.maximum(disc, 0.0))
-        r0 = (-b_half - sq) / a_q
-        r1 = (-b_half + sq) / a_q
-        tg = np.where(r0 > 1e-3, r0, np.where(r1 > 1e-3, r1, np.inf))
-        tground = np.where(disc >= 0, tg, np.inf)
+        for gc, gr, act in zip(centers, radii, active):
+            if not act or gr <= 0:
+                continue
+            oc = o - gc
+            b_half = (d * oc).sum(axis=1)
+            c_q = (oc * oc).sum(axis=1) - gr * gr
+            disc = b_half * b_half - a_q * c_q
+            sq = np.sqrt(np.maximum(disc, 0.0))
+            r0 = (-b_half - sq) / a_q
+            r1 = (-b_half + sq) / a_q
+            tg = np.where(r0 > 1e-3, r0, np.where(r1 > 1e-3, r1, np.inf))
+            tground = np.minimum(tground, np.where(disc >= 0, tg, np.inf))
         tground = np.minimum(tground, 3.0e38)
 
         for win in (8, 16, 32):
