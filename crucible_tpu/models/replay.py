@@ -61,7 +61,7 @@ from crucible_tpu.utils import backend
 
 T_MIN = integrator.T_MIN
 
-# Per-bounce decision bits (int32 flag word).
+# Per-bounce decision bits — the low BYTE of the packed record word.
 F_ALIVE = 1  # lane had an in-flight path entering this bounce
 F_HIT = 2  # the path hit a primitive (else: sky)
 F_TRI = 4  # winner is a triangle (else: sphere)
@@ -70,6 +70,25 @@ F_FRONT = 16  # front-face flag (HitRecord convention)
 F_REFL = 32  # dielectric chose reflection over refraction
 F_DEGEN = 64  # Lambertian scatter direction was degenerate
 F_ROOT1 = 128  # sphere hit used the far quadratic root
+
+# Packed record word (ONE int32 per bounce per lane — halves record traffic
+# and doubles the spp per record-budget chunk vs the r2 two-word layout):
+#   bits 0..7   flag byte (F_* above)
+#   bits 8..30  winner primitive id when F_HIT (0 otherwise); ids < 2^23
+# The word is always non-negative, so arithmetic and logical right shifts
+# agree. Flag tests work directly on the packed word since all F_* < 256.
+REC_ID_SCALE = 256
+
+
+def pack_record(win_id, flags):
+    """Assemble packed words from (R,) winner ids (already masked to hit
+    rows) and (R,) int32 flag words."""
+    return win_id.astype(jnp.int32) * jnp.int32(REC_ID_SCALE) + flags
+
+
+def rec_winner_id(rec):
+    """Winner primitive id column of packed records (any shape)."""
+    return jax.lax.shift_right_logical(rec, 8)
 
 
 def replay_supported(sd: SceneData) -> bool:
@@ -109,12 +128,11 @@ def trace_record(
 ):
     """Fast non-differentiable forward -> per-bounce decision records.
 
-    Returns (idx (D, R) int32 winner ids, flags (D, R) int32 bit words).
+    Returns packed records (D, R) int32 (winner id * 256 + flag byte).
     Rows past the wavefront's death are all-zero (F_ALIVE clear).
     """
     r = o.shape[0]
-    idx0 = jnp.zeros((max_depth, r), jnp.int32)
-    flg0 = jnp.zeros((max_depth, r), jnp.int32)
+    rec0 = jnp.zeros((max_depth, r), jnp.int32)
 
     if sd.animated:
         w = crng.uniform1(pixel_ids, sample_ids, crng.STREAM_TIME, seed)
@@ -122,7 +140,7 @@ def trace_record(
         w = None
 
     def body(state):
-        bounce, o_c, d_c, alive, idxbuf, flgbuf = state
+        bounce, o_c, d_c, alive, recbuf = state
         s = integrator.bounce_step(
             sd, o_c, d_c, pixel_ids, sample_ids, bounce, seed,
             use_pallas=use_pallas, return_decisions=True,
@@ -155,21 +173,21 @@ def trace_record(
             degen=s["decisions"]["degenerate"], root1=root1 & ~is_tri,
         )
         win = jnp.where(is_tri, s["i_tri"], i_s).astype(jnp.int32)
-        idxbuf = jax.lax.dynamic_update_slice(idxbuf, win[None], (bounce, 0))
-        flgbuf = jax.lax.dynamic_update_slice(flgbuf, flags[None], (bounce, 0))
+        word = pack_record(jnp.where(hit, win, 0), flags)
+        recbuf = jax.lax.dynamic_update_slice(recbuf, word[None], (bounce, 0))
 
         o_c = jnp.where(cont[:, None], s["new_o"], o_c)
         d_c = jnp.where(cont[:, None], s["new_d"], d_c)
-        return bounce + 1, o_c, d_c, cont, idxbuf, flgbuf
+        return bounce + 1, o_c, d_c, cont, recbuf
 
     def cond(state):
-        bounce, _, _, alive, _, _ = state
+        bounce, _, _, alive, _ = state
         return (bounce < max_depth) & jnp.any(alive)
 
     alive0 = jnp.ones((r,), bool)
-    state = (jnp.int32(0), o, d, alive0, idx0, flg0)
-    *_, idxbuf, flgbuf = jax.lax.while_loop(cond, body, state)
-    return idxbuf, flgbuf
+    state = (jnp.int32(0), o, d, alive0, rec0)
+    *_, recbuf = jax.lax.while_loop(cond, body, state)
+    return recbuf
 
 
 def trace_record_mega(
@@ -187,12 +205,12 @@ def trace_record_mega(
 
     One lane per (pixel, sample) path; the kernel regenerates the primary
     rays in-kernel (bit-identical pcg4d streams to generate_rays) and
-    streams per-bounce (winner id, flag word) records — the same bit layout
-    as :func:`trace_record`, at megakernel speed (per-tile exit instead of
+    streams per-bounce packed decision words — the same bit layout as
+    :func:`trace_record`, at megakernel speed (per-tile exit instead of
     the staged loop's global lockstep barrier). Requires
     integrator.megakernel_supported(sd, cp).
 
-    Returns (idx (D, R) int32, flags (D, R) int32).
+    Returns packed records (D, R) int32.
     """
     from crucible_tpu.ops.pallas import megakernel as mk
 
@@ -219,7 +237,7 @@ def trace_record_mega(
         tri_nodes, tris, mats, tri_meta = integrator.make_tri_tables(sd)
     else:
         tri_nodes = tris = mats = tri_meta = None
-    _, rec_idx, rec_flags = mk.run_megakernel_record(
+    _, rec = mk.run_megakernel_record(
         smem,
         pix.reshape(1, r_pad),
         smp.reshape(1, r_pad),
@@ -235,7 +253,7 @@ def trace_record_mega(
         tri_leaf=sd.bvh_leaf_size,
         interpret=interpret,
     )
-    return rec_idx[:, :r], rec_flags[:, :r]
+    return rec[:, :r]
 
 
 def trace_replay(
@@ -246,8 +264,7 @@ def trace_replay(
     sample_ids,
     seed,
     max_depth: int,
-    rec_idx,
-    rec_flags,
+    rec,
     early_exit: bool = False,
     bounce0: int = 0,
     thr_in=None,
@@ -283,7 +300,9 @@ def trace_replay(
     @jax.checkpoint
     def step(carry, xs):
         o_c, d_c, thr, rad = carry
-        idx, flags, bounce = xs
+        word, bounce = xs
+        flags = word  # flag byte tests work on the packed word (F_* < 256)
+        idx = rec_winner_id(word)
         alive = (flags & F_ALIVE) > 0
         hit = (flags & F_HIT) > 0
         is_tri = (flags & F_TRI) > 0
@@ -429,7 +448,7 @@ def trace_replay(
         # Alive rows form a prefix (the record loop stops when every lane
         # died), so the live row count bounds the walk.
         live_rows = jnp.sum(
-            jnp.any((rec_flags & F_ALIVE) > 0, axis=1).astype(jnp.int32)
+            jnp.any((rec & F_ALIVE) > 0, axis=1).astype(jnp.int32)
         )
 
         def cond(st):
@@ -437,9 +456,8 @@ def trace_replay(
 
         def body(st):
             b, carry = st[0], st[1]
-            idx = jax.lax.dynamic_slice_in_dim(rec_idx, b, 1, axis=0)[0]
-            flags = jax.lax.dynamic_slice_in_dim(rec_flags, b, 1, axis=0)[0]
-            carry, _ = step(carry, (idx, flags, b + jnp.int32(bounce0)))
+            word = jax.lax.dynamic_slice_in_dim(rec, b, 1, axis=0)[0]
+            carry, _ = step(carry, (word, b + jnp.int32(bounce0)))
             return (b + 1, carry)
 
         _, (o_c, d_c, thr, rad) = jax.lax.while_loop(
@@ -450,20 +468,85 @@ def trace_replay(
         return rad
     bounces = jnp.int32(bounce0) + jnp.arange(max_depth, dtype=jnp.int32)
     (o_c, d_c, thr, rad), _ = jax.lax.scan(
-        step, (o, d, thr0, rad0), (rec_idx, rec_flags, bounces)
+        step, (o, d, thr0, rad0), (rec, bounces)
     )
     if return_carry:
         return rad, (o_c, d_c, thr)
     return rad
 
 
-# Head/tail replay split: rows 0..SPLIT_DEPTH-1 replay at full lane width;
-# the rare lanes still alive past that (grazing-acne chains on convex
-# geometry reach max_depth with ~1e-4 frequency) are COMPACTED via top_k to
-# an R/LONG_DIV budget, so the deep tail stops paying full-width row costs
+# Head/tail replay split: rows 0..split_depth-1 replay at full lane width;
+# lanes still alive past that are COMPACTED via top_k to an R/long_div
+# budget, so the deep tail stops paying full-width row costs
 # (earthprof_400w: 50 live rows, replay 0.301 s of a 0.339 s chunk).
+# Forward (deep-budget scenes, depth 50, ~1e-4 of lanes survive row 8):
 SPLIT_DEPTH = 8
 LONG_DIV = 64
+# Gradient (training configs, depth ~8, mean path ~3): shallower head and a
+# generous tail budget — the static scan pays full width per ROW either
+# way, so cutting 5 of 8 rows to quarter width is the fwd+bwd lever
+# (VERDICT r2 #2).
+GRAD_SPLIT_DEPTH = 3
+GRAD_LONG_DIV = 4
+
+
+def replay_split(
+    sd, o, d, pixel_ids, sample_ids, seed, max_depth, rec,
+    *, split_depth, long_div, early_exit,
+):
+    """Head/tail lane-narrowed replay -> radiance (R, 3).
+
+    Rows 0..k-1 replay at full width; lanes whose record depth exceeds k
+    are compacted (top_k over per-lane live depth) to an R/long_div budget
+    for the remaining rows, with a full-width lax.cond fallback when more
+    lanes survive. Differentiable end-to-end when ``early_exit=False``
+    (static scans; top_k indices are integers, the gather/scatter-add pair
+    transposes exactly), so the gradient path shares it (``early_exit=True``
+    keeps the forward-only while_loop row walk).
+
+    Bit-exact vs the unsplit replay: the head/tail carries hand off in the
+    same f32 order, and non-selected lanes' tail rows are dead (flag 0).
+    """
+    k = min(split_depth, max_depth)
+    if max_depth <= k + 2:
+        return trace_replay(
+            sd, o, d, pixel_ids, sample_ids, seed, max_depth, rec,
+            early_exit=early_exit,
+        )
+    r = o.shape[0]
+    r_long = int(min(r, max(512, r // long_div)))
+    rad_head, (o_k, d_k, thr_k) = trace_replay(
+        sd, o, d, pixel_ids, sample_ids, seed, k, rec[:k], return_carry=True
+    )
+    depth_lane = jnp.sum(((rec & F_ALIVE) > 0).astype(jnp.int32), axis=0)
+    n_long = jnp.sum((depth_lane > k).astype(jnp.int32))
+
+    def tail_narrow(_):
+        _, idx = jax.lax.top_k(depth_lane, r_long)
+        rad_l = trace_replay(
+            sd,
+            jnp.take(o_k, idx, axis=0),
+            jnp.take(d_k, idx, axis=0),
+            jnp.take(pixel_ids, idx, axis=0),
+            jnp.take(sample_ids, idx, axis=0),
+            seed,
+            max_depth - k,
+            jnp.take(rec[k:], idx, axis=1),
+            early_exit=early_exit,
+            bounce0=k,
+            thr_in=jnp.take(thr_k, idx, axis=0),
+        )
+        return jnp.zeros((r, 3), jnp.float32).at[idx].add(rad_l)
+
+    def tail_full(_):
+        # Overflow guard (> r_long lanes survive row k): full-width tail.
+        return trace_replay(
+            sd, o_k, d_k, pixel_ids, sample_ids, seed, max_depth - k,
+            rec[k:], early_exit=early_exit, bounce0=k, thr_in=thr_k,
+        )
+
+    rad_tail = jax.lax.cond(n_long <= r_long, tail_narrow, tail_full, None)
+    return rad_head + rad_tail
 
 
 @functools.partial(
@@ -487,55 +570,15 @@ def _record_replay_chunk(
     # padding lanes in the record kernel (sample0 = 2^30 -> never issue,
     # flags 0 -> replay adds nothing).
     smp_rec = jnp.where(smp < spp_total, smp, jnp.uint32(2**30))
-    rec_idx, rec_flags = trace_record_mega(
+    rec = trace_record_mega(
         sd, cp, width, height, pix, smp_rec, seed, max_depth,
         interpret=backend.pallas_interpret(),
     )
-    k = min(SPLIT_DEPTH, max_depth)
-    if max_depth <= k + 2:
-        rad = trace_replay(
-            sd, o, d, pix, smp, seed, max_depth, rec_idx, rec_flags,
-            early_exit=True,
-        )
-        return rad.reshape(chunk_spp, p, 3).sum(axis=0)
-
-    r = pix.shape[0]
-    r_long = int(min(r, max(512, r // LONG_DIV)))
-    rad_head, (o_k, d_k, thr_k) = trace_replay(
-        sd, o, d, pix, smp, seed, k, rec_idx[:k], rec_flags[:k],
-        return_carry=True,
+    rad = replay_split(
+        sd, o, d, pix, smp, seed, max_depth, rec,
+        split_depth=SPLIT_DEPTH, long_div=LONG_DIV, early_exit=True,
     )
-    depth_lane = jnp.sum(((rec_flags & F_ALIVE) > 0).astype(jnp.int32), axis=0)
-    n_long = jnp.sum((depth_lane > k).astype(jnp.int32))
-
-    def tail_narrow(_):
-        _, idx = jax.lax.top_k(depth_lane, r_long)
-        rad_l = trace_replay(
-            sd,
-            jnp.take(o_k, idx, axis=0),
-            jnp.take(d_k, idx, axis=0),
-            jnp.take(pix, idx, axis=0),
-            jnp.take(smp, idx, axis=0),
-            seed,
-            max_depth - k,
-            jnp.take(rec_idx[k:], idx, axis=1),
-            jnp.take(rec_flags[k:], idx, axis=1),
-            early_exit=True,
-            bounce0=k,
-            thr_in=jnp.take(thr_k, idx, axis=0),
-        )
-        return jnp.zeros((r, 3), jnp.float32).at[idx].add(rad_l)
-
-    def tail_full(_):
-        # Overflow guard (> r_long lanes survive row k): full-width tail.
-        return trace_replay(
-            sd, o_k, d_k, pix, smp, seed, max_depth - k,
-            rec_idx[k:], rec_flags[k:], early_exit=True, bounce0=k,
-            thr_in=thr_k,
-        )
-
-    rad_tail = jax.lax.cond(n_long <= r_long, tail_narrow, tail_full, None)
-    return (rad_head + rad_tail).reshape(chunk_spp, p, 3).sum(axis=0)
+    return rad.reshape(chunk_spp, p, 3).sum(axis=0)
 
 
 def render_record_replay(
@@ -561,7 +604,8 @@ def render_record_replay(
     import time as _time
 
     p = width * height
-    chunk_spp = int(max(1, min(spp, rec_budget_bytes // (8 * max_depth * p))))
+    # 4 B per (bounce, lane): one packed int32 record word.
+    chunk_spp = int(max(1, min(spp, rec_budget_bytes // (4 * max_depth * p))))
     fb = None
     t0 = _time.time()
     spp_t = jnp.uint32(spp)
@@ -619,7 +663,7 @@ def render_rays_replay(
     # while_loop has no linearization with unknown primals and the fused
     # kernel has no JVP rule. Detach every float input.
     if record_mode == "mega":
-        rec_idx, rec_flags = trace_record_mega(
+        rec = trace_record_mega(
             jax.lax.stop_gradient(sd),
             jax.lax.stop_gradient(cp),
             width,
@@ -631,7 +675,7 @@ def render_rays_replay(
             interpret=backend.pallas_interpret(),
         )
     else:
-        rec_idx, rec_flags = trace_record(
+        rec = trace_record(
             jax.lax.stop_gradient(sd),
             jax.lax.stop_gradient(o),
             jax.lax.stop_gradient(d),
@@ -641,6 +685,10 @@ def render_rays_replay(
             max_depth,
             use_pallas=use_pallas,
         )
-    return trace_replay(
-        sd, o, d, pixel_ids, sample_ids, seed, max_depth, rec_idx, rec_flags
+    # Differentiable head/tail narrowing: rows past GRAD_SPLIT_DEPTH replay
+    # on compacted deep lanes only (static scans throughout — transposable).
+    return replay_split(
+        sd, o, d, pixel_ids, sample_ids, seed, max_depth, rec,
+        split_depth=GRAD_SPLIT_DEPTH, long_div=GRAD_LONG_DIV,
+        early_exit=False,
     )

@@ -223,7 +223,7 @@ def _kernel(
     table_ref,  # (N, C_IN) f32 sphere attribute table
     *rest,  # [cbounds (K,8) if n_chunks] + [tnodes, tris, mats if
     #          n_tri_nodes] + [acc_ref out (3, TILE)]
-    #          + [rec_idx_ref, rec_flg_ref (rec_depth, TILE) if rec_depth]
+    #          + [rec_ref (rec_depth, TILE) int32 packed records if rec_depth]
     animated: bool,
     t_min,
     n_chunks: int = 0,
@@ -245,7 +245,7 @@ def _kernel(
         # flag word) stream to the rec refs. The fast forward then feeds
         # the O(R*depth) differentiable replay, replacing the staged
         # trace_record (measured 2.1 vs 4.9 Mrays/s at the grad config).
-        acc_ref, rec_idx_ref, rec_flg_ref = rest
+        acc_ref, rec_ref = rest
     else:
         (acc_ref,) = rest
     spp = smem_ref[0]
@@ -266,10 +266,21 @@ def _kernel(
 
     zeros = jnp.zeros((1, TILE), jnp.float32)
 
-    # Winner attribute columns consumed by the shading code below.
-    attr_cols = [0, 1, 2, 3] + list(range(6, 24)) + (
-        [24, 25, 26, 27] if animated else []
-    )
+    # Winner attribute columns consumed by the shading code below. RECORD
+    # mode needs only the DECISION inputs — geometry (center/radius for the
+    # normal) and material scalars (type/fuzz/ior/prob for the scatter
+    # branch + direction); albedo/emission/texture columns (10..23) feed
+    # radiance, which the jnp replay recomputes. The per-column one-hot
+    # fetch is ~2/3 of an iteration's VPU work, so trimming 18 -> 8 columns
+    # is the main record-pass speedup (VERDICT r2 #2).
+    if rec_depth:
+        attr_cols = [0, 1, 2, 3, 6, 7, 8, 9] + (
+            [24, 25, 26, 27] if animated else []
+        )
+    else:
+        attr_cols = [0, 1, 2, 3] + list(range(6, 24)) + (
+            [24, 25, 26, 27] if animated else []
+        )
 
     def uniform4(smp, stream):
         x, y, z, w = _pcg4d(pix, smp, jnp.broadcast_to(stream, pix.shape),
@@ -698,7 +709,7 @@ def _kernel(
             # share one material row each, ids are few) via a tiny one-hot.
             mrows = jax.lax.broadcasted_iota(jnp.int32, (n_mats, TILE), 0)
             mwin = (mrows == tmid.astype(jnp.int32)) & is_tri
-            for c in range(6, 24):
+            for c in range(6, 10) if rec_depth else range(6, 24):
                 mval = jnp.sum(
                     jnp.where(mwin, mats_ref[:, c - 6 : c - 5], 0.0),
                     axis=0, keepdims=True,
@@ -734,28 +745,31 @@ def _kernel(
         # --- sky (default gradient) + emission ------------------------------
         # True sqrt + divide: bit-matches utils/vec.py::unit(d, eps=1e-20).
         dlen = jnp.maximum(jnp.sqrt(a_q), 1e-20)
-        sky_a = 0.5 * (dy / dlen + 1.0)
-        one_m_a = 1.0 - sky_a
-        skyr = one_m_a + sky_a * 0.5
-        skyg = one_m_a + sky_a * 0.7
-        skyb = one_m_a + sky_a
-        cr = jnp.where(hit, fetch(10), skyr)
-        cg = jnp.where(hit, fetch(11), skyg)
-        cb = jnp.where(hit, fetch(12), skyb)
-        ax = ax + jnp.where(alive, tx * cr, 0.0)
-        ay = ay + jnp.where(alive, ty * cg, 0.0)
-        az = az + jnp.where(alive, tz * cb, 0.0)
+        if not rec_depth:
+            # Radiance/albedo/attenuation are replay-side in record mode —
+            # only dlen (dielectric unit direction) is decision-relevant.
+            sky_a = 0.5 * (dy / dlen + 1.0)
+            one_m_a = 1.0 - sky_a
+            skyr = one_m_a + sky_a * 0.5
+            skyg = one_m_a + sky_a * 0.7
+            skyb = one_m_a + sky_a
+            cr = jnp.where(hit, fetch(10), skyr)
+            cg = jnp.where(hit, fetch(11), skyg)
+            cb = jnp.where(hit, fetch(12), skyb)
+            ax = ax + jnp.where(alive, tx * cr, 0.0)
+            ay = ay + jnp.where(alive, ty * cg, 0.0)
+            az = az + jnp.where(alive, tz * cb, 0.0)
 
-        # --- albedo: solid or 3-D checker of solids (models/textures.py) ---
-        inv_scale = fetch(17)
-        xf = jnp.floor(inv_scale * hx).astype(jnp.int32)
-        yf = jnp.floor(inv_scale * hy).astype(jnp.int32)
-        zf = jnp.floor(inv_scale * hz).astype(jnp.int32)
-        is_even = (xf + yf + zf) % 2 == 0
-        is_checker = fetch(13) == np.float32(TEX_CHECKER)
-        alr = jnp.where(is_checker, jnp.where(is_even, fetch(18), fetch(21)), fetch(14))
-        alg = jnp.where(is_checker, jnp.where(is_even, fetch(19), fetch(22)), fetch(15))
-        alb = jnp.where(is_checker, jnp.where(is_even, fetch(20), fetch(23)), fetch(16))
+            # --- albedo: solid or 3-D checker of solids (models/textures.py)
+            inv_scale = fetch(17)
+            xf = jnp.floor(inv_scale * hx).astype(jnp.int32)
+            yf = jnp.floor(inv_scale * hy).astype(jnp.int32)
+            zf = jnp.floor(inv_scale * hz).astype(jnp.int32)
+            is_even = (xf + yf + zf) % 2 == 0
+            is_checker = fetch(13) == np.float32(TEX_CHECKER)
+            alr = jnp.where(is_checker, jnp.where(is_even, fetch(18), fetch(21)), fetch(14))
+            alg = jnp.where(is_checker, jnp.where(is_even, fetch(19), fetch(22)), fetch(15))
+            alb = jnp.where(is_checker, jnp.where(is_even, fetch(20), fetch(23)), fetch(16))
 
         # --- scatter (models/materials.py) ----------------------------------
         mat_type = fetch(6)
@@ -830,9 +844,10 @@ def _kernel(
         ndx = jnp.where(is_diel, diex, jnp.where(is_metal, metx, lamx))
         ndy = jnp.where(is_diel, diey, jnp.where(is_metal, mety, lamy))
         ndz = jnp.where(is_diel, diez, jnp.where(is_metal, metz, lamz))
-        atr = jnp.where(is_diel, 1.0, jnp.where(is_metal, alr, alr * inv_prob))
-        atg = jnp.where(is_diel, 1.0, jnp.where(is_metal, alg, alg * inv_prob))
-        atb = jnp.where(is_diel, 1.0, jnp.where(is_metal, alb, alb * inv_prob))
+        if not rec_depth:
+            atr = jnp.where(is_diel, 1.0, jnp.where(is_metal, alr, alr * inv_prob))
+            atg = jnp.where(is_diel, 1.0, jnp.where(is_metal, alg, alg * inv_prob))
+            atb = jnp.where(is_diel, 1.0, jnp.where(is_metal, alb, alb * inv_prob))
         # Pure i1 algebra — Mosaic cannot lower a select over i1 vectors.
         scattered = (
             is_diel
@@ -878,14 +893,17 @@ def _kernel(
                 | _bits(degenerate, 64)
                 | _bits(root1_bit & ~is_tri_rec, 128)
             )
-            rec_idx_ref[pl.ds(it, 1), :] = jnp.where(
-                hit_rec, win_id, jnp.int32(0)
+            # ONE packed int32 per (bounce, lane): winner id in bits 8..30
+            # (ids < 2^23 keep the word non-negative), flag byte in bits
+            # 0..7 — halves record traffic vs two words (VERDICT r2 #2).
+            rec_ref[pl.ds(it, 1), :] = (
+                jnp.where(hit_rec, win_id, jnp.int32(0)) * jnp.int32(256)
+                + flags_rec
             )
-            rec_flg_ref[pl.ds(it, 1), :] = flags_rec
-
-        tx = jnp.where(cont, tx * atr, tx)
-        ty = jnp.where(cont, ty * atg, ty)
-        tz = jnp.where(cont, tz * atb, tz)
+        else:
+            tx = jnp.where(cont, tx * atr, tx)
+            ty = jnp.where(cont, ty * atg, ty)
+            tz = jnp.where(cont, tz * atb, tz)
         ox = jnp.where(cont, hx, ox)
         oy = jnp.where(cont, hy, oy)
         oz = jnp.where(cont, hz, oz)
@@ -905,8 +923,7 @@ def _kernel(
 
     if rec_depth:
         # Rows past the tile's death stay zero (F_ALIVE clear).
-        rec_idx_ref[:] = jnp.zeros((rec_depth, TILE), jnp.int32)
-        rec_flg_ref[:] = jnp.zeros((rec_depth, TILE), jnp.int32)
+        rec_ref[:] = jnp.zeros((rec_depth, TILE), jnp.int32)
     sample00 = sample0_ref[:]
     state0 = (
         sample00,
@@ -1043,8 +1060,10 @@ def run_megakernel_record(
     """RECORD-MODE megakernel dispatch (models/replay.py's fast forward).
 
     Each lane traces exactly one (pixel, sample) path; per-bounce discrete
-    decisions stream to HBM. Returns (radiance (3, R), rec_idx (D, R) int32,
-    rec_flags (D, R) int32) — records bit-compatible with trace_record.
+    decisions stream to HBM as ONE packed int32 per (bounce, lane): winner
+    id * 256 + flag byte (models/replay.py F_* layout). Returns
+    (radiance (3, R) — zeros: record mode skips radiance, the replay owns
+    it; rec (D, R) int32 packed records, bit-compatible with trace_record).
     Cluster culling is not supported here (records hold UNPERMUTED ids).
     """
     r = pix.shape[1]
@@ -1089,7 +1108,7 @@ def run_megakernel_record(
         rec_depth=max_depth,
     )
     grid = (r // TILE,)
-    acc, rec_idx, rec_flg = pl.pallas_call(
+    acc, rec = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -1105,15 +1124,11 @@ def run_megakernel_record(
             pl.BlockSpec(
                 (max_depth, TILE), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(
-                (max_depth, TILE), lambda i: (0, i), memory_space=pltpu.VMEM
-            ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((3, r), jnp.float32),
             jax.ShapeDtypeStruct((max_depth, r), jnp.int32),
-            jax.ShapeDtypeStruct((max_depth, r), jnp.int32),
         ],
         interpret=interpret,
     )(smem, pix, sample0, cam, table, *extra_in)
-    return acc, rec_idx, rec_flg
+    return acc, rec

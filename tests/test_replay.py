@@ -223,33 +223,34 @@ class TestMegaRecordMode:
         smp = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), p)
         seed = jnp.uint32(seed)
         o, d, _ = generate_rays(cp, w, h, pix, smp, seed)
-        ri_s, rf_s = replay_mod.trace_record(sd, o, d, pix, smp, seed, depth)
-        ri_m, rf_m = replay_mod.trace_record_mega(
+        rec_s = replay_mod.trace_record(sd, o, d, pix, smp, seed, depth)
+        rec_m = replay_mod.trace_record_mega(
             sd, cp, w, h, pix, smp, seed, depth, interpret=True
         )
-        return sd, cp, (o, d, pix, smp, seed), map(np.asarray, (ri_s, rf_s, ri_m, rf_m))
+        return sd, cp, (o, d, pix, smp, seed), map(np.asarray, (rec_s, rec_m))
 
     @pytest.mark.parametrize("mk", [demo.book1_end_scene, demo.load_teapot])
     def test_records_match_staged(self, mk):
         sc = mk(width=32)
-        sd, cp, rays, (ri_s, rf_s, ri_m, rf_m) = self._records(sc, 32)
+        sd, cp, rays, (rec_s, rec_m) = self._records(sc, 32)
         ess = replay_mod.F_ALIVE | replay_mod.F_HIT | replay_mod.F_SCAT
         # Decisions equal except ulp silhouette flips (<1% of lanes).
-        assert ((rf_s & ess) == (rf_m & ess)).mean() > 0.99
-        hit_both = ((rf_s & rf_m) & replay_mod.F_HIT) > 0
+        assert ((rec_s & ess) == (rec_m & ess)).mean() > 0.99
+        hit_both = ((rec_s & rec_m) & replay_mod.F_HIT) > 0
+        ri_s, ri_m = rec_s >> 8, rec_m >> 8
+        rf_s, rf_m = rec_s & 255, rec_m & 255
         assert (ri_s[hit_both] == ri_m[hit_both]).mean() > 0.99
         assert (rf_s[hit_both] == rf_m[hit_both]).mean() > 0.99
 
     def test_replay_over_mega_records_matches_image(self):
         sc = demo.book1_end_scene(width=32)
         depth = 8
-        sd, cp, (o, d, pix, smp, seed), (ri_s, rf_s, ri_m, rf_m) = self._records(
+        sd, cp, (o, d, pix, smp, seed), (rec_s, rec_m) = self._records(
             sc, 32, depth=depth
         )
         rad_m = np.asarray(
             replay_mod.trace_replay(
-                sd, o, d, pix, smp, seed, depth,
-                jnp.asarray(ri_m), jnp.asarray(rf_m),
+                sd, o, d, pix, smp, seed, depth, jnp.asarray(rec_m)
             )
         )
         rad_fwd = np.asarray(
@@ -260,7 +261,8 @@ class TestMegaRecordMode:
         # content matches (bits that don't reach the replay's radiance —
         # front/root1 of absorbed rows, winner ids of miss rows — are
         # don't-cares the two kernels fill differently).
-        def canon(rf, ri):
+        def canon(rec):
+            rf, ri = rec & 255, rec >> 8
             hit = (rf & replay_mod.F_HIT) > 0
             scat = (rf & replay_mod.F_SCAT) > 0
             mask = (
@@ -277,8 +279,8 @@ class TestMegaRecordMode:
             )
             return rf & mask, np.where(hit, ri, 0)
 
-        cs = canon(np.asarray(rf_s), np.asarray(ri_s))
-        cm = canon(np.asarray(rf_m), np.asarray(ri_m))
+        cs = canon(np.asarray(rec_s))
+        cm = canon(np.asarray(rec_m))
         same = np.all((cs[0] == cm[0]) & (cs[1] == cm[1]), axis=0)
         assert same.mean() > 0.97
         # Replay re-derives t per winner (different f32 association than the
@@ -342,6 +344,50 @@ class TestRecordSchedule:
             sd, cp, w, h, 4, 4, 1, rec_budget_bytes=8 * 4 * w * h
         )
         np.testing.assert_allclose(np.asarray(many), np.asarray(one), rtol=1e-5, atol=1e-5)
+
+    def test_grad_split_matches_unsplit(self):
+        """render_rays_replay narrows deep lanes past GRAD_SPLIT_DEPTH with
+        static scans; value AND gradients must match the unsplit replay
+        (the head/tail handoff is bit-exact — same f32 op order, dead tail
+        rows contribute nothing)."""
+        import functools
+
+        sc = demo.smoke_scene(width=24)
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        h = sc.scene_cam.image_height
+        depth = 8
+        assert depth > replay_mod.GRAD_SPLIT_DEPTH + 2
+        p = 24 * h
+        pix = jnp.tile(jnp.arange(p, dtype=jnp.uint32), 2)
+        smp = jnp.repeat(jnp.arange(2, dtype=jnp.uint32), p)
+        seed = jnp.uint32(0)
+        o, d, _ = generate_rays(cp, 24, h, pix, smp, seed)
+        rec = replay_mod.trace_record(sd, o, d, pix, smp, seed, depth)
+
+        def loss(params, split):
+            sd2, _ = G.apply_params(sd, cp, params)
+            if split:
+                rad = replay_mod.replay_split(
+                    sd2, o, d, pix, smp, seed, depth, rec,
+                    split_depth=replay_mod.GRAD_SPLIT_DEPTH,
+                    long_div=replay_mod.GRAD_LONG_DIV,
+                    early_exit=False,
+                )
+            else:
+                rad = replay_mod.trace_replay(
+                    sd2, o, d, pix, smp, seed, depth, rec
+                )
+            return jnp.mean(rad**2)
+
+        params = G.extract_params(sd, cp)
+        v0, g0 = jax.value_and_grad(functools.partial(loss, split=False))(params)
+        v1, g1 = jax.value_and_grad(functools.partial(loss, split=True))(params)
+        assert float(v0) == pytest.approx(float(v1), rel=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(g1["tex_color"]), np.asarray(g0["tex_color"]),
+            rtol=1e-5, atol=1e-8,
+        )
 
     def test_split_tail_replay_matches_reference(self):
         """max_depth past SPLIT_DEPTH triggers the head/tail lane-narrowing

@@ -67,21 +67,32 @@ def main():
             sd_, o_, d_, pix, smp, seed, DEPTH, use_pallas=True
         )
     )
-    rec_idx, rec_flags = bench("record", rec_fn, sd, o, d, rays=rays)
+    rec = bench("record", rec_fn, sd, o, d, rays=rays)
 
     rep_fn = jax.jit(
-        lambda sd_, o_, d_, ri, rf: replay.trace_replay(
-            sd_, o_, d_, pix, smp, seed, DEPTH, ri, rf
+        lambda sd_, o_, d_, rc: replay.trace_replay(
+            sd_, o_, d_, pix, smp, seed, DEPTH, rc
         )
     )
-    bench("replay_fwd", rep_fn, sd, o, d, rec_idx, rec_flags, rays=rays)
+    bench("replay_fwd", rep_fn, sd, o, d, rec, rays=rays)
 
-    def loss_replay(sd_, o_, d_, ri, rf):
-        rad = replay.trace_replay(sd_, o_, d_, pix, smp, seed, DEPTH, ri, rf)
+    def loss_replay(sd_, o_, d_, rc):
+        rad = replay.trace_replay(sd_, o_, d_, pix, smp, seed, DEPTH, rc)
         return jnp.mean(rad**2)
 
     vg = jax.jit(jax.value_and_grad(loss_replay, argnums=0, allow_int=True))
-    bench("replay_bwd", vg, sd, o, d, rec_idx, rec_flags, rays=rays)
+    bench("replay_bwd", vg, sd, o, d, rec, rays=rays)
+
+    def loss_replay_split(sd_, o_, d_, rc):
+        rad = replay.replay_split(
+            sd_, o_, d_, pix, smp, seed, DEPTH, rc,
+            split_depth=replay.GRAD_SPLIT_DEPTH,
+            long_div=replay.GRAD_LONG_DIV, early_exit=False,
+        )
+        return jnp.mean(rad**2)
+
+    vg2 = jax.jit(jax.value_and_grad(loss_replay_split, argnums=0, allow_int=True))
+    bench("replay_split_bwd", vg2, sd, o, d, rec, rays=rays)
 
     target = jnp.zeros((p, 3), jnp.float32)
     pix1 = jnp.arange(p, dtype=jnp.uint32)

@@ -229,29 +229,27 @@ def earthprof(width=400, spp=32, depth=50):
     smp = jnp.repeat(jnp.arange(chunk_spp, dtype=jnp.uint32), p)
     seed = jnp.uint32(0)
 
-    rec = jax.jit(
+    rec_f = jax.jit(
         lambda: replay.trace_record_mega(sd, cp, w, h, pix, smp, seed, depth)
     )
-    rec_idx, rec_flags = jax.block_until_ready(rec())
+    rec = jax.block_until_ready(rec_f())
     t0 = time.time()
-    jax.block_until_ready(rec())
+    jax.block_until_ready(rec_f())
     rec_s = time.time() - t0
 
     live = int(
-        np.asarray(
-            jnp.sum(jnp.any((rec_flags & replay.F_ALIVE) > 0, axis=1))
-        )
+        np.asarray(jnp.sum(jnp.any((rec & replay.F_ALIVE) > 0, axis=1)))
     )
     o, d, _ = generate_rays(cp, w, h, pix, smp, seed)
 
     rp = jax.jit(
-        lambda ri, rf: replay.trace_replay(
-            sd, o, d, pix, smp, seed, depth, ri, rf, early_exit=True
+        lambda rc: replay.trace_replay(
+            sd, o, d, pix, smp, seed, depth, rc, early_exit=True
         )
     )
-    jax.block_until_ready(rp(rec_idx, rec_flags))
+    jax.block_until_ready(rp(rec))
     t0 = time.time()
-    jax.block_until_ready(rp(rec_idx, rec_flags))
+    jax.block_until_ready(rp(rec))
     rp_s = time.time() - t0
     log(
         bench=f"earthprof_{width}w",
@@ -289,15 +287,15 @@ def gradprof(w=1920, h=1080, spp=4, depth=8):
             mrays_per_s=round(w * h * spp / dt / 1e6, 2))
         return dt
 
-    rec = jax.jit(
+    rec_f = jax.jit(
         lambda: replay.trace_record_mega(sd, cp, w, h, pix, smp, seed, depth)
     )
-    timeit("record", rec)
-    ri, rf = rec()
+    timeit("record", rec_f)
+    rc = rec_f()
 
     def fwd():
         o, d, _ = generate_rays(cp, w, h, pix, smp, seed)
-        return replay.trace_replay(sd, o, d, pix, smp, seed, depth, ri, rf)
+        return replay.trace_replay(sd, o, d, pix, smp, seed, depth, rc)
 
     timeit("replay_fwd", jax.jit(fwd))
 
