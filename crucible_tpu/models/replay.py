@@ -92,15 +92,13 @@ def rec_winner_id(rec):
 
 
 def replay_supported(sd: SceneData) -> bool:
-    """Static predicate. Unsupported corners: linearly-moving triangle
-    meshes (per-winner vertex motion lerp is not wired) and exact per-ray
-    timeline evaluation (mid-shutter keyframes; the replay re-derives hit t
-    from the linear-shutter quadratic)."""
-    if sd.motion_exact:
-        return False
-    if sd.tex.max_nest > 1:  # replay resolves one checker level only
-        return False
-    return not (sd.animated and sd.tri_v0_d is not None)
+    """Static predicate. The only unsupported corner is exact per-ray
+    timeline evaluation (mid-shutter keyframes): the replay re-derives hit
+    t from the linear-shutter quadratic/MT, which would deviate from the
+    piecewise trajectory. Moving triangle meshes (per-winner vertex lerp)
+    and arbitrarily nested checkers (full textures.value resolution) are
+    replayable as of r3."""
+    return not sd.motion_exact
 
 
 def _pack(**bits):
@@ -337,6 +335,15 @@ def trace_replay(
             v0 = jnp.take(sd.tri_v0, ti, axis=0)
             v1 = jnp.take(sd.tri_v1, ti, axis=0)
             v2 = jnp.take(sd.tri_v2, ti, axis=0)
+            if sd.animated and sd.tri_v0_d is not None:
+                # Per-winner vertex motion lerp at the lane's shutter
+                # fraction — same pattern as the sphere motion columns;
+                # mirrors the per-vertex timelines of
+                # src/objects/triangle.rs:15-17 under the linear-shutter
+                # model. Motion gradients flow through the replayed MT.
+                v0 = v0 + w[:, None] * jnp.take(sd.tri_v0_d, ti, axis=0)
+                v1 = v1 + w[:, None] * jnp.take(sd.tri_v1_d, ti, axis=0)
+                v2 = v2 + w[:, None] * jnp.take(sd.tri_v2_d, ti, axis=0)
             # Per-winner Möller–Trumbore t (src/objects/triangle.rs:84-140).
             e1 = v1 - v0
             e2 = v2 - v0
@@ -379,41 +386,35 @@ def trace_replay(
         rad = rad + jnp.where(alive[:, None], thr * contrib, 0.0)
 
         # --- albedo: solid / checker / image (models/textures.py) ----------
-        inv_scale = attr(17)
-        xyz = jnp.floor(inv_scale[:, None] * point).astype(jnp.int32)
-        is_even = (xyz[:, 0] + xyz[:, 1] + xyz[:, 2]) % 2 == 0
-        kind = attr(13)
-        checker = jnp.where(is_even[:, None], attr3(18), attr3(21))
-        albedo = jnp.where(
-            (kind == np.float32(tex_mod.CHECKER))[:, None], checker, attr3(14)
-        )
-        if n_imgs:
-            # Resolve one level of checker nesting to a leaf id, then unroll
-            # the scene's images (integer takes carry no tangents; the texel
-            # gather IS the texel gradient).
+        if n_imgs or sd.tex.max_nest > 1:
+            # Full texture-table evaluation: resolves max_nest checker
+            # levels (each with ITS OWN inv_scale parity) and the scene's
+            # images — textures.value is the single semantic source
+            # (src/textures/checker_texture.rs:39-52 recursion). Integer
+            # takes carry no tangents; the texel gather IS the texel
+            # gradient.
             if sd.num_tris > 0:
                 tid = jnp.where(is_tri, mrow[:, 18], srow[:, 30])
             else:
                 tid = srow[:, 30]
             tid = tid.astype(jnp.int32)
-            child = jnp.where(
-                is_even,
-                jnp.take(sd.tex.even, tid, axis=0),
-                jnp.take(sd.tex.odd, tid, axis=0),
-            )
-            resolved = jnp.where(
-                jnp.take(sd.tex.kind, tid, axis=0) == tex_mod.CHECKER, child, tid
-            )
-            rkind = jnp.take(sd.tex.kind, resolved, axis=0)
-            rimg = jnp.take(sd.tex.image_id, resolved, axis=0)
             u_s, v_s = intersect.sphere_uv(n_sph)
-            uu = jnp.where(is_tri, 0.0, u_s)
-            vv = jnp.where(is_tri, 0.0, v_s)
-            for k, img in enumerate(sd.tex.images):
-                m = (rkind == tex_mod.IMAGE) & (rimg == k)
-                albedo = jnp.where(
-                    m[:, None], tex_mod.image_lookup(img, uu, vv), albedo
-                )
+            if sd.num_tris > 0:
+                # Triangle uv is hardcoded (0,0) (triangle.rs:133-134).
+                u_s = jnp.where(is_tri, 0.0, u_s)
+                v_s = jnp.where(is_tri, 0.0, v_s)
+            albedo = tex_mod.value(sd.tex, tid, u_s, v_s, point)
+        else:
+            # Fast path (solid / one-level checker): colors ride the
+            # already-fetched winner row — no extra gathers.
+            inv_scale = attr(17)
+            xyz = jnp.floor(inv_scale[:, None] * point).astype(jnp.int32)
+            is_even = (xyz[:, 0] + xyz[:, 1] + xyz[:, 2]) % 2 == 0
+            kind = attr(13)
+            checker = jnp.where(is_even[:, None], attr3(18), attr3(21))
+            albedo = jnp.where(
+                (kind == np.float32(tex_mod.CHECKER))[:, None], checker, attr3(14)
+            )
 
         # --- scatter with frozen decisions ----------------------------------
         u1, u2, u_dec = crng.uniform3(

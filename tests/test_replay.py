@@ -76,6 +76,21 @@ class TestReplayMatchesForward:
         close = np.isclose(got, ref, rtol=1e-3, atol=1e-3).all(axis=-1)
         assert close.mean() > 0.98, f"only {close.mean():.3f} lanes match"
 
+    def test_moving_mesh_radiance_close(self):
+        sc = demo.load_teapot(width=24)
+        sc.translate_x(0.4, 1.0, LERP, WORLD, "teapot")
+        sc.scene_cam.frame = 6
+        h = sc.scene_cam.image_height
+        sd, cp, pix, smp = _rays(sc, 24, h, 2)
+        assert sd.animated and sd.tri_v0_d is not None
+        o, d, _ = generate_rays(cp, 24, h, pix, smp, 0)
+        ref = np.asarray(integrator.trace(sd, o, d, pix, smp, jnp.uint32(0), 5))
+        got = np.asarray(
+            replay_mod.render_rays_replay(sd, cp, 24, h, pix, smp, jnp.uint32(0), 5)
+        )
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got.mean(0), ref.mean(0), rtol=5e-3, atol=5e-3)
+
     def test_animated_scene_radiance_close(self):
         sc = demo.smoke_scene(width=32)
         sc.translate_x(1.0, 1.0, LERP, WORLD, "ball")  # make it animated
@@ -191,6 +206,38 @@ class TestReplayFiniteDifference:
         """Triangle-BVH scene gradients through per-winner Möller-Trumbore."""
         sc = demo.load_teapot(width=24)
         _fd_vs_grad(sc, "tex_color", width=24, spp=2, depth=3, rel=5e-2)
+
+    def test_moving_mesh_albedo(self):
+        """Animated triangle meshes replay via per-winner vertex motion
+        lerp (VERDICT r2 #7; reference per-vertex timelines
+        triangle.rs:15-17)."""
+        sc = demo.load_teapot(width=24)
+        sc.translate_x(0.5, 1.0, LERP, WORLD, "teapot")
+        sc.scene_cam.frame = 6
+        sd = sc.build()
+        assert sd.animated and sd.tri_v0_d is not None
+        assert replay_mod.replay_supported(sd)
+        _fd_vs_grad(sc, "tex_color", width=24, spp=2, depth=3, rel=5e-2)
+
+    def test_nested_checker_albedo(self):
+        """Nested checkers replay through the full textures.value
+        resolution (VERDICT r2 #7; Arc<Textures> composition,
+        checker_texture.rs:12-36)."""
+        from crucible_tpu.models.scene import CheckerTexture, SolidColor
+
+        inner = CheckerTexture.from_colors(0.1, (0.9, 0.1, 0.1), (0.1, 0.9, 0.1))
+        outer = CheckerTexture(1.0, inner, SolidColor((0.1, 0.1, 0.9)))
+        sc = Scene.new_image(1.5, 24)
+        sc.scene_cam.look_from((0, 2, 4))
+        sc.scene_cam.look_at((0, 0, 0))
+        sc.scene_cam.set_vfov(40.0)
+        sc.add_element(
+            Sphere((0, -100.5, 0), 100.0, Lambertian.from_texture(outer)),
+            "ground",
+        )
+        sd = sc.build()
+        assert sd.tex.max_nest == 2 and replay_mod.replay_supported(sd)
+        _fd_vs_grad(sc, "tex_color", width=24, spp=2, depth=3)
 
 
 class TestReplayGradientsFinite:

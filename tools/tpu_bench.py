@@ -287,17 +287,37 @@ def gradprof(w=1920, h=1080, spp=4, depth=8):
             mrays_per_s=round(w * h * spp / dt / 1e6, 2))
         return dt
 
+    # NOTE: the record array (D, R) must be a jit ARGUMENT, not a closure —
+    # closed-over arrays embed in the HLO as literals and a 265 MB constant
+    # blows the tunnel's remote-compile request limit (HTTP 413).
     rec_f = jax.jit(
-        lambda: replay.trace_record_mega(sd, cp, w, h, pix, smp, seed, depth)
+        lambda sd_, cp_: replay.trace_record_mega(
+            sd_, cp_, w, h, pix, smp, seed, depth
+        )
     )
-    timeit("record", rec_f)
-    rc = rec_f()
+    timeit("record", lambda: rec_f(sd, cp))
+    rc = rec_f(sd, cp)
 
-    def fwd():
+    def fwd(sd_, rc_):
         o, d, _ = generate_rays(cp, w, h, pix, smp, seed)
-        return replay.trace_replay(sd, o, d, pix, smp, seed, depth, rc)
+        return replay.trace_replay(sd_, o, d, pix, smp, seed, depth, rc_)
 
-    timeit("replay_fwd", jax.jit(fwd))
+    jfwd = jax.jit(fwd)
+    timeit("replay_fwd", lambda: jfwd(sd, rc))
+
+    def split_loss(sd_, rc_):
+        o, d, _ = generate_rays(cp, w, h, pix, smp, seed)
+        rad = replay.replay_split(
+            sd_, o, d, pix, smp, seed, depth, rc_,
+            split_depth=replay.GRAD_SPLIT_DEPTH,
+            long_div=replay.GRAD_LONG_DIV, early_exit=False,
+        )
+        return jnp.mean(rad ** 2)
+
+    jsplit = jax.jit(split_loss)
+    timeit("replay_split_fwd", lambda: jsplit(sd, rc))
+    jsplit_vg = jax.jit(jax.value_and_grad(split_loss, allow_int=True))
+    timeit("replay_split_bwd", lambda: jsplit_vg(sd, rc))
 
     target = jnp.zeros((w * h, 3), jnp.float32)
     kw = dict(width=w, height=h, spp=spp, max_depth=depth, method="replay")
