@@ -646,8 +646,11 @@ class Scene:
         big leaves bloat compile).
 
         ``bvh_method="sah"`` (default) uses the binned surface-area-heuristic
-        split (ops/bvh.py::_sah_split); ``"median"`` reproduces the
+        split with leaf-size snapping; ``"median"`` reproduces the
         reference's sort + median-count topology (bvhwrapper.rs:46-80).
+        Both run through the native C++ builder (crucible_tpu/native) with
+        a NumPy fallback, so large meshes build at C++ speed either way
+        (ADVICE r2: the SAH default previously bypassed the native path).
         """
         if leaf_size is None:
             import jax as _jax

@@ -50,27 +50,39 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if path is None:
         return None
     lib = ctypes.CDLL(str(path))
-    lib.crucible_build_bvh.restype = ctypes.c_int64
-    lib.crucible_build_bvh.argtypes = [
-        ctypes.POINTER(ctypes.c_float),  # bb_min
-        ctypes.POINTER(ctypes.c_float),  # bb_max
-        ctypes.c_int64,  # m
-        ctypes.c_int64,  # leaf_size
-        ctypes.POINTER(ctypes.c_float),  # node_min
-        ctypes.POINTER(ctypes.c_float),  # node_max
-        ctypes.POINTER(ctypes.c_int32),  # node_first
-        ctypes.POINTER(ctypes.c_int32),  # node_count
-        ctypes.POINTER(ctypes.c_int32),  # node_miss
-        ctypes.POINTER(ctypes.c_int32),  # node_parent
-        ctypes.POINTER(ctypes.c_int32),  # perm
-    ]
+    for fname in ("crucible_build_bvh", "crucible_build_bvh_sah"):
+        fn = getattr(lib, fname)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_float),  # bb_min
+            ctypes.POINTER(ctypes.c_float),  # bb_max
+            ctypes.c_int64,  # m
+            ctypes.c_int64,  # leaf_size
+            ctypes.POINTER(ctypes.c_float),  # node_min
+            ctypes.POINTER(ctypes.c_float),  # node_max
+            ctypes.POINTER(ctypes.c_int32),  # node_first
+            ctypes.POINTER(ctypes.c_int32),  # node_count
+            ctypes.POINTER(ctypes.c_int32),  # node_miss
+            ctypes.POINTER(ctypes.c_int32),  # node_parent
+            ctypes.POINTER(ctypes.c_int32),  # perm
+        ]
     _LIB = lib
     return _LIB
 
 
-def build_bvh_native(bb_min: np.ndarray, bb_max: np.ndarray, leaf_size: int = 4):
+def build_bvh_native(
+    bb_min: np.ndarray, bb_max: np.ndarray, leaf_size: int = 4,
+    method: str = "median",
+):
     """C++ BVH build -> dict of arrays (same layout as ops/bvh.FlatBVH), or
-    None if the native library is unavailable."""
+    None if the native library is unavailable.
+
+    ``method``: "median" reproduces the reference topology exactly
+    (bit-matched against the NumPy builder, tests/test_ops.py); "sah" is
+    the binned surface-area-heuristic build with leaf-size snapping —
+    float tie-breaks may differ from the NumPy SAH, which is fine: any
+    valid BVH yields the same closest-hit image (equivalence is checked at
+    render level)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -89,7 +101,10 @@ def build_bvh_native(bb_min: np.ndarray, bb_max: np.ndarray, leaf_size: int = 4)
     def ptr(a, t):
         return a.ctypes.data_as(ctypes.POINTER(t))
 
-    k = lib.crucible_build_bvh(
+    fn = (
+        lib.crucible_build_bvh_sah if method == "sah" else lib.crucible_build_bvh
+    )
+    k = fn(
         ptr(bb_min, ctypes.c_float),
         ptr(bb_max, ctypes.c_float),
         m,

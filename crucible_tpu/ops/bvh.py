@@ -137,10 +137,10 @@ def build_bvh(
         512 lanes hits, so child overlap multiplies union-leaf visits
         (tools/walk_sim.py measures the difference).
     """
-    if use_native and method == "median":
+    if use_native and method in ("median", "sah"):
         from crucible_tpu import native
 
-        out = native.build_bvh_native(bb_min, bb_max, leaf_size)
+        out = native.build_bvh_native(bb_min, bb_max, leaf_size, method=method)
         if out is not None:
             return FlatBVH(**out)
     m = len(bb_min)

@@ -63,7 +63,15 @@ import numpy as np
 BIG = np.float32(3.0e38)
 TILE = 512
 C_IN = 32  # sphere attribute table columns (sphere_shade.py layout)
-NODE_WIN = 8  # BVH nodes slab-tested per traversal iteration (one (W,T) batch)
+NODE_WIN = 16  # BVH nodes slab-tested per traversal iteration (one (W,T) batch)
+# Leaves taken per traversal iteration. The windowed walk is LEAF-
+# SERIALIZED (tools/walk_sim.py: iters ~ leaves+1 at MAX_LEAVES=1), so
+# taking several leaves per window amortizes the per-iteration fixed cost
+# (slab batch, scalar chase, vector sync) over the SAME total MT rows —
+# unlike the reverted (256,T) block (058c4f8) whose fixed-span blocks
+# inflated MT rows with masked dead weight. sim @ sah64: iters/tile
+# 14.0 -> 7.8 (ml=2, win16) -> 5.6 (ml=3, win16).
+MAX_LEAVES = 3
 # The window's any-hit bits pack into ONE int32 word (1 << i per row); more
 # than 31 rows would overflow the shift and corrupt traversal (ADVICE r2).
 assert NODE_WIN <= 31, "hit-mask packing holds at most 31 window rows"
@@ -545,24 +553,26 @@ def _kernel(
                 )
                 bh_w = jnp.where((enter <= exitv) & alive, 1, 0)  # (W, T)
 
-                # Scalar cursor chase through the window. `stop` parks the
-                # cursor at a SECOND hit leaf (one leaf test per iteration);
-                # nodes visited after the first taken leaf were slab-tested
-                # against the pre-leaf tb — conservative (never skips a node
-                # the tighter t would keep), so correctness is unaffected.
+                # Scalar cursor chase through the window. The walk is LEAF-
+                # SERIALIZED (tools/walk_sim.py), so the chase takes up to
+                # MAX_LEAVES leaves per iteration; `stop` parks the cursor
+                # at the (MAX_LEAVES+1)-th hit leaf. Nodes visited after a
+                # taken leaf were slab-tested against the pre-leaf tb —
+                # conservative (never skips a node the tighter t would
+                # keep), so correctness is unaffected.
                 #
                 # The chase syncs on the vector pipeline exactly ONCE: the
                 # window's per-row any-hit bits are packed into a single
                 # scalar word (hm) read from one (1,1) reduce; node metadata
-                # (first/count/miss) comes from SMEM (tmeta_ref), so the 8
+                # (first/count/miss) comes from SMEM (tmeta_ref), so the
                 # unrolled steps are pure scalar ALU + SMEM reads instead of
-                # 8 serial reads of a just-computed vector result.
+                # serial reads of a just-computed vector result.
                 cur = c
                 have = jnp.int32(0)
                 stop = jnp.int32(0)
-                first = jnp.int32(0)
-                count = jnp.int32(0)
-                lf_row = jnp.int32(0)
+                firsts = [jnp.int32(0)] * MAX_LEAVES
+                counts = [jnp.int32(0)] * MAX_LEAVES
+                lf_rows = [jnp.int32(0)] * MAX_LEAVES
                 ah = jnp.max(bh_w, axis=1, keepdims=True)  # (W, 1)
                 wrow = jax.lax.broadcasted_iota(jnp.int32, (NODE_WIN, 1), 0)
                 # Per-row weight 2^i as a select chain (vector<<vector shifts
@@ -581,25 +591,20 @@ def _kernel(
                     miss_i = tmeta_ref[3 * (c + i) + 2]
                     at = (cur == c + i) & (stop == 0)
                     hitleaf = at & hit_i & (cnt_i > 0)
-                    take = hitleaf & (have == 0)
-                    first = jnp.where(take, first_i, first)
-                    count = jnp.where(take, cnt_i, count)
-                    lf_row = jnp.where(take, jnp.int32(i), lf_row)
-                    have = jnp.where(take, jnp.int32(1), have)
-                    stop = jnp.where(hitleaf & (have == 1) & ~take, jnp.int32(1), stop)
+                    take = hitleaf & (have < MAX_LEAVES)
+                    for j in range(MAX_LEAVES):
+                        tj = hitleaf & (have == j)
+                        firsts[j] = jnp.where(tj, first_i, firsts[j])
+                        counts[j] = jnp.where(tj, cnt_i, counts[j])
+                        lf_rows[j] = jnp.where(tj, jnp.int32(i), lf_rows[j])
+                    stop = jnp.where(hitleaf & ~take, jnp.int32(1), stop)
+                    have = jnp.where(take, have + 1, have)
                     nxt = jnp.where(hit_i, c + i + 1, miss_i)
                     cur = jnp.where(at & (stop == 0), nxt, cur)
                 c_next = cur
-                anyhit = have > 0
-                # Per-lane box gate of the taken leaf's window row (the old
-                # per-node `bh`), selected without dynamic vector indexing.
                 lrows = jax.lax.broadcasted_iota(jnp.int32, (NODE_WIN, TILE), 0)
-                bh = (
-                    jnp.max(jnp.where(lrows == lf_row, bh_w, 0), axis=0, keepdims=True)
-                    > 0
-                )  # (1, T)
 
-                def leaf_fn(carry):
+                def leaf_fn(carry, first, count, bh):
                     # BATCHED leaf test: the whole <=tri_leaf-triangle leaf
                     # against all TILE lanes as ONE (L, T) Möller–Trumbore —
                     # the same (rows, T) layout as the sphere stage. The
@@ -682,14 +687,31 @@ def _kernel(
                     return tb2, nx2, ny2, nz2, md2
 
                 if rec_depth:
-                    carry0 = (tb, tnx, tny, tnz, tmid, ttid)
+                    carry1 = (tb, tnx, tny, tnz, tmid, ttid)
                 else:
-                    carry0 = (tb, tnx, tny, tnz, tmid)
-                # Skip the MT when the window took no leaf (~26% of
-                # iterations at leaf=64, tools/walk_sim.py). The cond's
-                # carries are six (1, T) rows — small enough that the cond
-                # overhead undercuts the (tri_leaf, T) MT it skips.
-                carry1 = jax.lax.cond(have > 0, leaf_fn, lambda c: c, carry0)
+                    carry1 = (tb, tnx, tny, tnz, tmid)
+                # One cond-guarded (L, T) MT per TAKEN leaf: iterations with
+                # fewer than MAX_LEAVES takes skip the rest, so total MT
+                # rows equal the single-leaf walk's — only the per-iteration
+                # fixed costs amortize. The cond's carries are six (1, T)
+                # rows — small enough that the cond overhead undercuts the
+                # (tri_leaf, T) MT it skips.
+                for j in range(MAX_LEAVES):
+                    bh_j = (
+                        jnp.max(
+                            jnp.where(lrows == lf_rows[j], bh_w, 0),
+                            axis=0, keepdims=True,
+                        )
+                        > 0
+                    )  # (1, T) box gate of taken leaf j's window row
+                    carry1 = jax.lax.cond(
+                        have > j,
+                        functools.partial(
+                            leaf_fn, first=firsts[j], count=counts[j], bh=bh_j
+                        ),
+                        lambda cc: cc,
+                        carry1,
+                    )
                 return (c_next,) + carry1
 
             if rec_depth:

@@ -244,3 +244,56 @@ class TestNativeBVH:
         np.testing.assert_array_equal(a.node_parent, b.node_parent)
         np.testing.assert_allclose(a.node_min, b.node_min)
         np.testing.assert_allclose(a.node_max, b.node_max)
+
+    def test_native_sah_valid_and_equivalent(self, rng):
+        """The C++ SAH builder (ADVICE r2: the default build path should not
+        silently bypass the native builder) may break float ties differently
+        from the NumPy SAH, so equivalence is structural + closest-hit: the
+        BVH must satisfy all flat-layout invariants and produce the same
+        nearest triangle t as the NumPy build for random rays."""
+        from crucible_tpu.ops.bvh import build_bvh
+        from crucible_tpu.ops.traverse import bvh_hit_triangles
+
+        v0, v1, v2 = _random_tris(rng, 500)
+        bb_min = np.minimum(np.minimum(v0, v1), v2)
+        bb_max = np.maximum(np.maximum(v0, v1), v2)
+        out = [
+            build_bvh(bb_min, bb_max, leaf_size=8, use_native=un, method="sah")
+            for un in (False, True)
+        ]
+        for b in out:
+            k = b.num_nodes
+            # perm is a permutation; leaves partition it in order.
+            np.testing.assert_array_equal(np.sort(b.perm), np.arange(500))
+            leaf = b.node_count > 0
+            assert b.node_count[leaf].sum() == 500
+            starts = b.node_first[leaf]
+            assert (np.diff(starts) > 0).all()
+            # skip links: leaves -> i+1; all targets in (i, k].
+            li = np.nonzero(leaf)[0]
+            np.testing.assert_array_equal(b.node_miss[li], li + 1)
+            assert (b.node_miss > np.arange(k)).all() and (b.node_miss <= k).all()
+            # node boxes contain their leaf prims
+            for i in li[:32]:
+                prims = b.perm[b.node_first[i] : b.node_first[i] + b.node_count[i]]
+                assert (bb_min[prims] >= b.node_min[i] - 1e-6).all()
+                assert (bb_max[prims] <= b.node_max[i] + 1e-6).all()
+
+        o = jnp.asarray(rng.normal(size=(256, 3)) * 2, jnp.float32)
+        d = jnp.asarray(rng.normal(size=(256, 3)), jnp.float32)
+        res = []
+        for b in out:
+            t, i, hit = bvh_hit_triangles(
+                o, d,
+                jnp.asarray(v0[b.perm]), jnp.asarray(v1[b.perm]),
+                jnp.asarray(v2[b.perm]),
+                jnp.asarray(b.node_min), jnp.asarray(b.node_max),
+                jnp.asarray(b.node_first), jnp.asarray(b.node_count),
+                jnp.asarray(b.node_miss),
+                1e-3, np.float32(3e38), 8,
+            )
+            res.append((np.asarray(t), np.asarray(hit)))
+        np.testing.assert_array_equal(res[0][1], res[1][1])
+        np.testing.assert_allclose(
+            res[0][0][res[0][1]], res[1][0][res[1][1]], rtol=1e-5, atol=1e-6
+        )

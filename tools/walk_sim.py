@@ -15,8 +15,12 @@ import sys
 import numpy as np
 
 
-def simulate_tile(o, d, t0, nodes, node_win):
+def simulate_tile(o, d, t0, nodes, node_win, max_leaves=1):
     """One tile's traversal: o/d (T,3) f64, t0 (T,) starting best-t.
+
+    ``max_leaves``: leaves taken per window iteration before the cursor
+    parks (the kernel's chase takes 1; multi-leaf variants take more —
+    the walk is LEAF-SERIALIZED, iters ~ leaves+1, so this is the lever).
 
     Returns (iterations, leaf_visits, interior_rows_tested)."""
     lo, hi, first, count, miss = nodes
@@ -39,19 +43,18 @@ def simulate_tile(o, d, t0, nodes, node_win):
             exitv = np.minimum(np.maximum(t0x, t1x).min(axis=1), tb)
             any_hit[i] = bool(np.any(enter <= exitv))
         rows_tested += w_end - c
-        # scalar cursor chase: first hit leaf stops further leaf takes
+        # scalar cursor chase: the (max_leaves+1)-th hit leaf parks the
+        # cursor for the next iteration
         cur = c
-        have = False
+        taken = []
         stop = False
-        lf = -1
         for i in range(w_end - c):
             at = (cur == c + i) and not stop
             if not at:
                 continue
             if any_hit[i] and count[c + i] > 0:
-                if not have:
-                    have = True
-                    lf = c + i
+                if len(taken) < max_leaves:
+                    taken.append(c + i)
                     cur = c + i + 1
                 else:
                     stop = True
@@ -60,7 +63,7 @@ def simulate_tile(o, d, t0, nodes, node_win):
                 cur = c + i + 1
             else:
                 cur = miss[c + i]
-        if have:
+        for lf in taken:
             leaves += 1
             # leaf test shrinks tb: approximate with exact tri hits
             f, cnt = first[lf], count[lf]
@@ -147,7 +150,7 @@ def main():
             tground = np.minimum(tground, np.where(disc >= 0, tg, np.inf))
         tground = np.minimum(tground, 3.0e38)
 
-        for win in (8, 16, 32):
+        for win, ml in ((8, 1), (16, 1), (8, 2), (16, 2), (16, 3), (16, 4)):
             tot_it = tot_lf = tot_rows = 0
             ntiles = 0
             for s in range(0, p, 512):
@@ -155,13 +158,13 @@ def main():
                     continue
                 sl = slice(s, min(s + 512, p))
                 t0 = tground[sl].copy()
-                it, lf, rows = simulate_tile(o[sl], d[sl], t0, nodes, win)
+                it, lf, rows = simulate_tile(o[sl], d[sl], t0, nodes, win, ml)
                 tot_it += it
                 tot_lf += lf
                 tot_rows += rows
                 ntiles += 1
             print(
-                f"{method:6s} leaf={leaf:3d} win={win:2d} nodes={nodes[0].shape[0]:4d} "
+                f"{method:6s} leaf={leaf:3d} win={win:2d} ml={ml} nodes={nodes[0].shape[0]:4d} "
                 f"iters/tile={tot_it/ntiles:6.1f} leaves/tile={tot_lf/ntiles:6.1f} "
                 f"node_rows/tile={tot_rows/ntiles:7.1f}"
             )
