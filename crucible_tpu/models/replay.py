@@ -295,9 +295,14 @@ def trace_replay(
 
     n_imgs = len(sd.tex.images)
 
+    # Scan carries are FLAT (3R,) vectors: a stacked (D, R, 3) checkpoint
+    # residual in the default {2,1,0:T(8,128)} layout pads the minor dim of
+    # 3 to 128 — a 42x HBM blow-up that OOM'd the 1080p gradient (21 GB for
+    # what is 500 MB of data). Flat (3R,) tiles at ~1x; the reshapes are
+    # two cheap copies per step.
     @jax.checkpoint
     def step(carry, xs):
-        o_c, d_c, thr, rad = carry
+        o_c, d_c, thr, rad = (x.reshape(r, 3) for x in carry)
         word, bounce = xs
         flags = word  # flag byte tests work on the packed word (F_* < 256)
         idx = rec_winner_id(word)
@@ -441,7 +446,9 @@ def trace_replay(
         thr = jnp.where(cont[:, None], thr * atten, thr)
         o_c = jnp.where(cont[:, None], point, o_c)
         d_c = jnp.where(cont[:, None], new_dir, d_c)
-        return (o_c, d_c, thr, rad), None
+        return (
+            o_c.reshape(-1), d_c.reshape(-1), thr.reshape(-1), rad.reshape(-1)
+        ), None
 
     thr0 = jnp.ones((r, 3), jnp.float32) if thr_in is None else thr_in
     rad0 = jnp.zeros((r, 3), jnp.float32)
@@ -461,19 +468,23 @@ def trace_replay(
             carry, _ = step(carry, (word, b + jnp.int32(bounce0)))
             return (b + 1, carry)
 
+        carry0 = (o.reshape(-1), d.reshape(-1), thr0.reshape(-1), rad0.reshape(-1))
         _, (o_c, d_c, thr, rad) = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), (o, d, thr0, rad0))
+            cond, body, (jnp.int32(0), carry0)
         )
         if return_carry:
-            return rad, (o_c, d_c, thr)
-        return rad
+            return rad.reshape(r, 3), (
+                o_c.reshape(r, 3), d_c.reshape(r, 3), thr.reshape(r, 3)
+            )
+        return rad.reshape(r, 3)
     bounces = jnp.int32(bounce0) + jnp.arange(max_depth, dtype=jnp.int32)
-    (o_c, d_c, thr, rad), _ = jax.lax.scan(
-        step, (o, d, thr0, rad0), (rec, bounces)
-    )
+    carry0 = (o.reshape(-1), d.reshape(-1), thr0.reshape(-1), rad0.reshape(-1))
+    (o_c, d_c, thr, rad), _ = jax.lax.scan(step, carry0, (rec, bounces))
     if return_carry:
-        return rad, (o_c, d_c, thr)
-    return rad
+        return rad.reshape(r, 3), (
+            o_c.reshape(r, 3), d_c.reshape(r, 3), thr.reshape(r, 3)
+        )
+    return rad.reshape(r, 3)
 
 
 # Head/tail replay split: rows 0..split_depth-1 replay at full lane width;
@@ -483,11 +494,12 @@ def trace_replay(
 # Forward (deep-budget scenes, depth 50, ~1e-4 of lanes survive row 8):
 SPLIT_DEPTH = 8
 LONG_DIV = 64
-# Gradient (training configs, depth ~8, mean path ~3): shallower head and a
-# generous tail budget — the static scan pays full width per ROW either
-# way, so cutting 5 of 8 rows to quarter width is the fwd+bwd lever
-# (VERDICT r2 #2).
-GRAD_SPLIT_DEPTH = 3
+# Gradient (training configs, depth ~8, mean path ~2.9): shallow head and
+# a generous tail budget — the static scan pays full width per ROW either
+# way, so cutting 6 of 8 rows to quarter width is the fwd+bwd lever
+# (VERDICT r2 #2). book1 row-alive fractions [1, .83, .34, .18, .098, ...]:
+# 18% of lanes survive row 2 < the 1/4 budget, so the narrow path holds.
+GRAD_SPLIT_DEPTH = 2
 GRAD_LONG_DIV = 4
 
 
@@ -498,12 +510,14 @@ def replay_split(
     """Head/tail lane-narrowed replay -> radiance (R, 3).
 
     Rows 0..k-1 replay at full width; lanes whose record depth exceeds k
-    are compacted (top_k over per-lane live depth) to an R/long_div budget
-    for the remaining rows, with a full-width lax.cond fallback when more
-    lanes survive. Differentiable end-to-end when ``early_exit=False``
-    (static scans; top_k indices are integers, the gather/scatter-add pair
-    transposes exactly), so the gradient path shares it (``early_exit=True``
-    keeps the forward-only while_loop row walk).
+    are compacted to an R/long_div budget for the remaining rows, with a
+    full-width lax.cond fallback when more lanes survive. Compaction is a
+    prefix-sum enumeration + drop-mode scatter of lane ids — O(R), no sort
+    (a top_k over 8.3M lanes measured ~0.2 s on v5e, swamping the rows it
+    saved). Differentiable end-to-end when ``early_exit=False`` (static
+    scans; the indices are integers, the gather/scatter-add pair transposes
+    exactly), so the gradient path shares it (``early_exit=True`` keeps the
+    forward-only while_loop row walk).
 
     Bit-exact vs the unsplit replay: the head/tail carries hand off in the
     same f32 order, and non-selected lanes' tail rows are dead (flag 0).
@@ -520,10 +534,24 @@ def replay_split(
         sd, o, d, pixel_ids, sample_ids, seed, k, rec[:k], return_carry=True
     )
     depth_lane = jnp.sum(((rec & F_ALIVE) > 0).astype(jnp.int32), axis=0)
-    n_long = jnp.sum((depth_lane > k).astype(jnp.int32))
+    long_flag = depth_lane > k
+    n_long = jnp.sum(long_flag.astype(jnp.int32))
 
     def tail_narrow(_):
-        _, idx = jax.lax.top_k(depth_lane, r_long)
+        # Stream-compact the deep lanes: flagged lane -> its prefix rank.
+        pos = jnp.cumsum(long_flag.astype(jnp.int32)) - 1
+        slot = jnp.where(long_flag, pos, r_long)  # r_long = out of bounds
+        idx = (
+            jnp.zeros((r_long,), jnp.int32)
+            .at[slot]
+            .set(jnp.arange(r, dtype=jnp.int32), mode="drop")
+        )
+        # Unfilled slots (rank >= n_long) alias lane 0; zero their
+        # throughput so they replay to exactly nothing.
+        valid = jnp.arange(r_long, dtype=jnp.int32) < n_long
+        thr_sel = jnp.where(
+            valid[:, None], jnp.take(thr_k, idx, axis=0), 0.0
+        )
         rad_l = trace_replay(
             sd,
             jnp.take(o_k, idx, axis=0),
@@ -535,7 +563,7 @@ def replay_split(
             jnp.take(rec[k:], idx, axis=1),
             early_exit=early_exit,
             bounce0=k,
-            thr_in=jnp.take(thr_k, idx, axis=0),
+            thr_in=thr_sel,
         )
         return jnp.zeros((r, 3), jnp.float32).at[idx].add(rad_l)
 
