@@ -72,6 +72,7 @@ def render_pixels_mean(
     max_depth: int,
     seed,
     method: str = "auto",
+    sample0=0,
 ):
     """Per-pixel mean radiance (P, 3) for the given pixels, differentiable
     w.r.t. ``params``.
@@ -99,7 +100,9 @@ def render_pixels_mean(
             method = "ad"
     p = pixel_ids.shape[0]
     pix = jnp.tile(pixel_ids, spp)
-    smp = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), p)
+    smp = jnp.repeat(
+        jnp.asarray(sample0, jnp.uint32) + jnp.arange(spp, dtype=jnp.uint32), p
+    )
     if method == "replay":
         rad = replay_mod.render_rays_replay(
             sd, cp, width, height, pix, smp, seed, max_depth,
@@ -117,12 +120,16 @@ def render_pixels_mean(
 )
 def l2_loss(
     params, sd, cp, target, pixel_ids, seed,
-    *, width, height, spp, max_depth, method="auto",
+    *, width, height, spp, max_depth, method="auto", sample0=0,
 ):
-    """Mean squared error against target pixel radiances."""
+    """Mean squared error against target pixel radiances.
+
+    ``sample0`` (traced) offsets the sample ids — the knob behind
+    :func:`loss_and_grad_accum`'s sample-chunked gradient accumulation.
+    """
     img = render_pixels_mean(
         params, sd, cp, pixel_ids, width, height, spp, max_depth, seed,
-        method=method,
+        method=method, sample0=sample0,
     )
     return jnp.mean((img - target) ** 2)
 
@@ -131,6 +138,43 @@ loss_and_grad = jax.jit(
     jax.value_and_grad(l2_loss),
     static_argnames=("width", "height", "spp", "max_depth", "method"),
 )
+
+
+def loss_and_grad_accum(
+    params, sd, cp, target, pixel_ids, seed,
+    *, width, height, spp, max_depth, chunk_spp, method="auto",
+):
+    """Sample-chunked gradient accumulation: averages ``spp / chunk_spp``
+    minibatch (chunk-loss) gradients, each from an independent sample
+    window. This is how deep-budget configs (book1 1080p 500 spp) train
+    without materializing a 500-sample record buffer: the decision records
+    exist one chunk at a time. ``sample0`` is traced, so every chunk reuses
+    ONE compiled executable.
+
+    Note the objective is the MEAN OF CHUNK LOSSES (standard minibatch
+    SGD over sample windows), not the L2 of the all-sample mean image —
+    the two coincide as chunk_spp -> spp and have the same minimizers for
+    unbiased estimators.
+    """
+    assert spp % chunk_spp == 0, (spp, chunk_spp)
+    n = spp // chunk_spp
+    kw = dict(
+        width=width, height=height, spp=chunk_spp, max_depth=max_depth,
+        method=method,
+    )
+    total = None
+    loss_sum = 0.0
+    for s0 in range(0, spp, chunk_spp):
+        loss, g = loss_and_grad(
+            params, sd, cp, target, pixel_ids, seed,
+            sample0=jnp.uint32(s0), **kw,
+        )
+        loss_sum = loss_sum + loss
+        total = g if total is None else jax.tree_util.tree_map(
+            lambda a, b: a + b, total, g
+        )
+    inv = 1.0 / n
+    return loss_sum * inv, jax.tree_util.tree_map(lambda a: a * inv, total)
 
 
 def make_train_step(optimizer, width: int, height: int, spp: int, max_depth: int):

@@ -295,14 +295,9 @@ def trace_replay(
 
     n_imgs = len(sd.tex.images)
 
-    # Scan carries are FLAT (3R,) vectors: a stacked (D, R, 3) checkpoint
-    # residual in the default {2,1,0:T(8,128)} layout pads the minor dim of
-    # 3 to 128 — a 42x HBM blow-up that OOM'd the 1080p gradient (21 GB for
-    # what is 500 MB of data). Flat (3R,) tiles at ~1x; the reshapes are
-    # two cheap copies per step.
     @jax.checkpoint
     def step(carry, xs):
-        o_c, d_c, thr, rad = (x.reshape(r, 3) for x in carry)
+        o_c, d_c, thr, rad = carry
         word, bounce = xs
         flags = word  # flag byte tests work on the packed word (F_* < 256)
         idx = rec_winner_id(word)
@@ -446,9 +441,7 @@ def trace_replay(
         thr = jnp.where(cont[:, None], thr * atten, thr)
         o_c = jnp.where(cont[:, None], point, o_c)
         d_c = jnp.where(cont[:, None], new_dir, d_c)
-        return (
-            o_c.reshape(-1), d_c.reshape(-1), thr.reshape(-1), rad.reshape(-1)
-        ), None
+        return (o_c, d_c, thr, rad), None
 
     thr0 = jnp.ones((r, 3), jnp.float32) if thr_in is None else thr_in
     rad0 = jnp.zeros((r, 3), jnp.float32)
@@ -468,23 +461,19 @@ def trace_replay(
             carry, _ = step(carry, (word, b + jnp.int32(bounce0)))
             return (b + 1, carry)
 
-        carry0 = (o.reshape(-1), d.reshape(-1), thr0.reshape(-1), rad0.reshape(-1))
         _, (o_c, d_c, thr, rad) = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), carry0)
+            cond, body, (jnp.int32(0), (o, d, thr0, rad0))
         )
         if return_carry:
-            return rad.reshape(r, 3), (
-                o_c.reshape(r, 3), d_c.reshape(r, 3), thr.reshape(r, 3)
-            )
-        return rad.reshape(r, 3)
+            return rad, (o_c, d_c, thr)
+        return rad
     bounces = jnp.int32(bounce0) + jnp.arange(max_depth, dtype=jnp.int32)
-    carry0 = (o.reshape(-1), d.reshape(-1), thr0.reshape(-1), rad0.reshape(-1))
-    (o_c, d_c, thr, rad), _ = jax.lax.scan(step, carry0, (rec, bounces))
+    (o_c, d_c, thr, rad), _ = jax.lax.scan(
+        step, (o, d, thr0, rad0), (rec, bounces)
+    )
     if return_carry:
-        return rad.reshape(r, 3), (
-            o_c.reshape(r, 3), d_c.reshape(r, 3), thr.reshape(r, 3)
-        )
-    return rad.reshape(r, 3)
+        return rad, (o_c, d_c, thr)
+    return rad
 
 
 # Head/tail replay split: rows 0..split_depth-1 replay at full lane width;
@@ -501,6 +490,10 @@ LONG_DIV = 64
 # 18% of lanes survive row 2 < the 1/4 budget, so the narrow path holds.
 GRAD_SPLIT_DEPTH = 2
 GRAD_LONG_DIV = 4
+# Static narrow passes in the differentiable tail (capacity = TAIL_PASSES /
+# GRAD_LONG_DIV of all lanes; overflow poisons the result with NaN — loud,
+# never silently biased).
+TAIL_PASSES = 2
 
 
 def replay_split(
@@ -536,22 +529,24 @@ def replay_split(
     depth_lane = jnp.sum(((rec & F_ALIVE) > 0).astype(jnp.int32), axis=0)
     long_flag = depth_lane > k
     n_long = jnp.sum(long_flag.astype(jnp.int32))
+    rank = jnp.cumsum(long_flag.astype(jnp.int32)) - 1  # deep lane -> rank
 
-    def tail_narrow(_):
-        # Stream-compact the deep lanes: flagged lane -> its prefix rank.
-        pos = jnp.cumsum(long_flag.astype(jnp.int32)) - 1
-        slot = jnp.where(long_flag, pos, r_long)  # r_long = out of bounds
+    def tail_pass(rank_lo):
+        """Replay ranks [rank_lo, rank_lo + r_long) of the deep lanes."""
+        pos = rank - rank_lo
+        in_pass = long_flag & (pos >= 0) & (pos < r_long)
+        slot = jnp.where(in_pass, pos, r_long)  # r_long = out of bounds
         idx = (
             jnp.zeros((r_long,), jnp.int32)
             .at[slot]
             .set(jnp.arange(r, dtype=jnp.int32), mode="drop")
         )
-        # Unfilled slots (rank >= n_long) alias lane 0; zero their
-        # throughput so they replay to exactly nothing.
-        valid = jnp.arange(r_long, dtype=jnp.int32) < n_long
-        thr_sel = jnp.where(
-            valid[:, None], jnp.take(thr_k, idx, axis=0), 0.0
+        # Unfilled slots alias lane 0; zero their throughput so they
+        # replay to exactly nothing (value and gradient).
+        valid = (
+            jnp.arange(r_long, dtype=jnp.int32) < n_long - rank_lo
         )
+        thr_sel = jnp.where(valid[:, None], jnp.take(thr_k, idx, axis=0), 0.0)
         rad_l = trace_replay(
             sd,
             jnp.take(o_k, idx, axis=0),
@@ -567,14 +562,34 @@ def replay_split(
         )
         return jnp.zeros((r, 3), jnp.float32).at[idx].add(rad_l)
 
-    def tail_full(_):
-        # Overflow guard (> r_long lanes survive row k): full-width tail.
-        return trace_replay(
-            sd, o_k, d_k, pixel_ids, sample_ids, seed, max_depth - k,
-            rec[k:], early_exit=early_exit, bounce0=k, thr_in=thr_k,
-        )
+    if early_exit:
+        # Forward-only: a full-width while_loop fallback is cheap to carry
+        # (no reverse-mode residuals), so one narrow pass + cond guard.
+        def tail_full(_):
+            return trace_replay(
+                sd, o_k, d_k, pixel_ids, sample_ids, seed, max_depth - k,
+                rec[k:], early_exit=True, bounce0=k, thr_in=thr_k,
+            )
 
-    rad_tail = jax.lax.cond(n_long <= r_long, tail_narrow, tail_full, None)
+        rad_tail = jax.lax.cond(
+            n_long <= r_long, lambda _: tail_pass(0), tail_full, None
+        )
+        return rad_head + rad_tail
+
+    # Differentiable path: NO lax.cond — a full-width scan branch forces
+    # XLA to materialize its stacked checkpoint residuals in a copy whose
+    # {2,1,0:T(8,128)} layout pads the minor dim of 3 to 128 (21 GB at
+    # 1080p — the OOM that killed the r2-style guard). Instead run a
+    # STATIC number of narrow passes (capacity TAIL_PASSES * r/long_div
+    # deep lanes — 50% of lanes at the defaults, ~2.8x the measured book1
+    # survivor fraction past row 2) and poison the result with NaN if
+    # capacity is ever exceeded: a loud failed-finite check downstream
+    # instead of a silently biased gradient.
+    rad_tail = tail_pass(0)
+    for p in range(1, TAIL_PASSES):
+        rad_tail = rad_tail + tail_pass(p * r_long)
+    dropped = n_long - TAIL_PASSES * r_long
+    rad_tail = jnp.where(dropped > 0, jnp.float32(jnp.nan), rad_tail)
     return rad_head + rad_tail
 
 

@@ -211,3 +211,46 @@ class TestAnimatedAndMeshGradients:
         idx = np.unravel_index(np.argmax(np.abs(g)), g.shape)
         fd = _fd(params, "tex_color", idx, sd, cp, target, pix, kw)
         assert g[idx] == pytest.approx(fd, rel=2e-2)
+
+
+class TestAccumulatedGradient:
+    def test_accum_equals_mean_of_chunks(self):
+        """loss_and_grad_accum over 2-sample windows equals the hand-
+        averaged chunk gradients (one executable, sample0 traced)."""
+        sc = demo.smoke_scene(width=24)
+        sd, cp, pix, target, params, kw = _setup(
+            sc, width=24, height=13, spp=2, depth=3
+        )
+        ls, gs = [], []
+        for s0 in (0, 2):
+            l, g = G.loss_and_grad(
+                params, sd, cp, target, pix, jnp.uint32(0),
+                sample0=jnp.uint32(s0), **kw,
+            )
+            ls.append(float(l))
+            gs.append(g)
+        la, ga = G.loss_and_grad_accum(
+            params, sd, cp, target, pix, jnp.uint32(0),
+            width=24, height=13, spp=4, max_depth=3, chunk_spp=2,
+        )
+        assert float(la) == pytest.approx(0.5 * (ls[0] + ls[1]), rel=1e-6)
+        want = 0.5 * (
+            np.asarray(gs[0]["tex_color"]) + np.asarray(gs[1]["tex_color"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(ga["tex_color"]), want, rtol=1e-6, atol=1e-9
+        )
+
+    def test_distinct_windows_differ(self):
+        """sample0 really changes the RNG sample set."""
+        sc = demo.smoke_scene(width=24)
+        sd, cp, pix, target, params, kw = _setup(
+            sc, width=24, height=13, spp=2, depth=3
+        )
+        l0, _ = G.loss_and_grad(
+            params, sd, cp, target, pix, jnp.uint32(0), sample0=jnp.uint32(0), **kw
+        )
+        l1, _ = G.loss_and_grad(
+            params, sd, cp, target, pix, jnp.uint32(0), sample0=jnp.uint32(2), **kw
+        )
+        assert float(l0) != float(l1)

@@ -319,6 +319,14 @@ def gradprof(w=1920, h=1080, spp=4, depth=8):
     jsplit_vg = jax.jit(jax.value_and_grad(split_loss, allow_int=True))
     timeit("replay_split_bwd", lambda: jsplit_vg(sd, rc))
 
+    def unsplit_loss(sd_, rc_):
+        o, d, _ = generate_rays(cp, w, h, pix, smp, seed)
+        rad = replay.trace_replay(sd_, o, d, pix, smp, seed, depth, rc_)
+        return jnp.mean(rad ** 2)
+
+    juns_vg = jax.jit(jax.value_and_grad(unsplit_loss, allow_int=True))
+    timeit("replay_unsplit_bwd", lambda: juns_vg(sd, rc))
+
     target = jnp.zeros((w * h, 3), jnp.float32)
     kw = dict(width=w, height=h, spp=spp, max_depth=depth, method="replay")
     timeit(
