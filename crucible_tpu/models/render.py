@@ -385,9 +385,15 @@ def render_movie(
     fname: str,
     skip_existing: bool = False,
     verbose: bool = True,
+    on_frame=None,
 ) -> Path:
     """Render ``ceil(duration*fps)`` frames to ``<fname>/artifacts/`` and
-    assemble an mp4 with ffmpeg (src/scene/mod.rs:295-322)."""
+    assemble an mp4 with ffmpeg (src/scene/mod.rs:295-322).
+
+    ``skip_existing`` turns the persisted frames into checkpoint/resume
+    (SURVEY.md §5). ``on_frame(frame_index, seconds)`` is called after each
+    rendered frame — the observability hook for per-frame throughput
+    logging (skipped frames don't fire it)."""
     assert scene.duration is not None, "render_movie needs a movie scene (duration set)"
     out_dir = Path(fname)
     artifacts = out_dir / "artifacts"
@@ -405,8 +411,11 @@ def render_movie(
             continue
         if verbose:
             print(f"frame {fi + 1}/{n_frames}", file=sys.stderr)
+        t0 = time.time()
         img = render_image(scene, verbose=False)
         write_image(frame_path, to_u8(img))
+        if on_frame is not None:
+            on_frame(fi, time.time() - t0)
     return make_mp4(artifacts, out_dir / f"{out_dir.name}.mp4", fps, pad)
 
 

@@ -373,6 +373,37 @@ def fetchbench(r=1 << 20, n=512, c=32):
     log(bench="fetch_high_exact", max_abs_diff=float(jnp.abs(a - b).max()))
 
 
+def movie(duration=5.0, out="/tmp/first_movie_tpu"):
+    """BASELINE config 5 end-to-end: the first_movie camera walk (metal
+    ball + garden equirect sky), per-frame checkpoints (skip_existing),
+    per-frame seconds logged, ffmpeg assembly (VERDICT r2 #10)."""
+    from crucible_tpu.models import demo, render
+
+    sc = demo.first_movie(duration=duration)
+    n = render.compute_frame_count(duration, sc.frame_rate)
+    secs = []
+
+    def on_frame(i, dt):
+        secs.append(round(dt, 3))
+        print(json.dumps({"frame": i, "seconds": secs[-1]}), flush=True)
+
+    t0 = time.time()
+    path = render.render_movie(sc, out, skip_existing=True, verbose=False,
+                               on_frame=on_frame)
+    wall = time.time() - t0
+    rays = sc.scene_cam.image_width * sc.scene_cam.image_height * 50
+    steady = sorted(secs)[len(secs) // 2] if secs else None
+    log(
+        bench="movie_first_movie_400w",
+        frames=n,
+        rendered=len(secs),
+        wall_s=round(wall, 1),
+        median_frame_s=steady,
+        mrays_per_s_median_frame=round(rays / steady / 1e6, 2) if steady else None,
+        out=str(path),
+    )
+
+
 def r2():
     demos()
     leafsweep()
@@ -393,5 +424,5 @@ if __name__ == "__main__":
         "quick": quick, "full": full, "micro": micro, "demos": demos,
         "grad": grad, "leafsweep": leafsweep, "r2": r2,
         "earthprof": earthprof, "gradprof": gradprof, "fetchbench": fetchbench,
-        "teapotx": teapotx,
+        "teapotx": teapotx, "movie": movie,
     }[mode]()
