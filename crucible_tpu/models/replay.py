@@ -24,9 +24,11 @@ This module splits the work the TPU way:
    function of center/radius/ray — same estimator as the custom VJP in
    ops/intersect.py), normals, albedos, scatter directions (RNG uniforms
    are pure pcg4d hashes, recomputed bit-identically). Per-bounce work is
-   O(R) — no candidate matrices, no argmin — and all per-winner attribute
-   fetches go through ONE one-hot matmul per table (ops/gather.take_rows_mm)
-   whose backward is an MXU contraction instead of a scatter.
+   O(R) — no candidate matrices, no argmin — and per-winner attribute
+   fetches are row gathers SPLIT by gradient-carrying columns: constant
+   columns (geometry, material scalars) fetch under stop_gradient, so the
+   backward scatters only the 13 parameter columns (fetchbench: one-hot
+   matmul == row gather on v5e; cost scales with differentiable width).
 
 Gradients are mathematically identical to the detached-sampling estimator
 of the direct-AD path (same frozen decisions, same continuous tape);
@@ -54,7 +56,6 @@ from crucible_tpu.models import textures as tex_mod
 from crucible_tpu.models.camera import CameraParams, generate_rays
 from crucible_tpu.models.scene import SceneData
 from crucible_tpu.ops import intersect
-from crucible_tpu.ops.gather import take_rows_mm
 from crucible_tpu.utils import rng as crng
 from crucible_tpu.utils import vec
 from crucible_tpu.utils import backend
@@ -295,6 +296,30 @@ def trace_replay(
 
     n_imgs = len(sd.tex.images)
 
+    # Split the winner fetch by gradient-carrying columns: only fuzz,
+    # emission, albedo and checker colors are optimization variables
+    # (grad.extract_params); geometry/material scalars are constants, so
+    # their fetch runs under stop_gradient and contributes NO transpose
+    # scatter to the backward — the fetch transpose was the bulk of the
+    # replay bwd (fetchbench: fetch fwd ~= grad ~= 8 ms/M lanes; halving
+    # the differentiable width halves the scatter). Strategy is jnp.take
+    # (== one-hot matmul on v5e at c=32, and cost scales with columns).
+    sph_param_cols = np.array([7, 10, 11, 12, 14, 15, 16, 18, 19, 20, 21, 22, 23])
+    sph_const_cols = np.array([0, 1, 2, 3, 6, 8, 9, 13, 17, 24, 25, 26, 27, 30])
+    table_param = table[:, sph_param_cols]
+    table_const = jax.lax.stop_gradient(table)[:, sph_const_cols]
+    # Positional maps into the packed sub-rows (attr column -> position).
+    _PARAM_POS = {7: 0, 10: 1, 14: 4, 18: 7, 21: 10}
+    _SPH_CONST_POS = {6: 4, 8: 5, 9: 6, 13: 7, 17: 8}
+    _MAT_CONST_POS = {6: 0, 8: 1, 9: 2, 13: 3, 17: 4}
+    if mats is not None:
+        mats_param = mats[:, sph_param_cols - 6]  # same positional layout
+        mats_const = jax.lax.stop_gradient(mats)[
+            :, np.array([0, 2, 3, 7, 11, 18])
+        ]
+    else:
+        mats_param = mats_const = None
+
     @jax.checkpoint
     def step(carry, xs):
         o_c, d_c, thr, rad = carry
@@ -310,13 +335,15 @@ def trace_replay(
         degen = (flags & F_DEGEN) > 0
         root1 = (flags & F_ROOT1) > 0
 
-        # --- winner attribute fetch: ONE one-hot matmul per table ----------
-        srow = take_rows_mm(table, jnp.where(is_tri, 0, idx))  # (R, 32)
-        c_w = srow[:, 0:3]
-        r_w = srow[:, 3]
+        # --- winner attribute fetch: split const/param row gathers ---------
+        widx = jnp.where(is_tri, 0, idx)
+        srow_c = jnp.take(table_const, widx, axis=0)  # (R, 14), no-grad
+        srow_p = jnp.take(table_param, widx, axis=0)  # (R, 13), grads flow
+        c_w = srow_c[:, 0:3]
+        r_w = srow_c[:, 3]
         if sd.animated:
-            c_w = c_w + w[:, None] * srow[:, 24:27]
-            r_w = r_w + w * srow[:, 27]
+            c_w = c_w + w[:, None] * srow_c[:, 9:12]
+            r_w = r_w + w * srow_c[:, 12]
 
         # Hit t as the recorded root of the winner's quadratic — the same
         # implicit-function estimator as ops/intersect.py's custom VJP, but
@@ -353,25 +380,38 @@ def trace_replay(
             qvec = jnp.cross(o_c - v0, e1)
             t_tri = jnp.sum(e2 * qvec, axis=-1) * inv_det
             n_tri = intersect.triangle_normal(v0, v1, v2)
-            mrow = take_rows_mm(mats, jnp.take(sd.tri_mat, ti, axis=0))
+            mi = jnp.take(sd.tri_mat, ti, axis=0)
+            mrow_c = jnp.take(mats_const, mi, axis=0)  # (R, 6), no-grad
+            mrow_p = jnp.take(mats_param, mi, axis=0)  # (R, 13), grads flow
             t_hit = jnp.where(is_tri, t_tri, t_sph)
 
-            def attr(c):  # sphere table column c; mats stores c-6
-                return jnp.where(is_tri, mrow[:, c - 6], srow[:, c])
+            def attr(c):  # sphere table column c (mats shares positions)
+                if c in _PARAM_POS:
+                    p = _PARAM_POS[c]
+                    return jnp.where(is_tri, mrow_p[:, p], srow_p[:, p])
+                return jnp.where(
+                    is_tri,
+                    mrow_c[:, _MAT_CONST_POS[c]],
+                    srow_c[:, _SPH_CONST_POS[c]],
+                )
 
             def attr3(c):
+                p = _PARAM_POS[c]
                 return jnp.where(
-                    is_tri[:, None], mrow[:, c - 6 : c - 3], srow[:, c : c + 3]
+                    is_tri[:, None], mrow_p[:, p : p + 3], srow_p[:, p : p + 3]
                 )
         else:
             t_hit = t_sph
             n_tri = None
 
             def attr(c):
-                return srow[:, c]
+                if c in _PARAM_POS:
+                    return srow_p[:, _PARAM_POS[c]]
+                return srow_c[:, _SPH_CONST_POS[c]]
 
             def attr3(c):
-                return srow[:, c : c + 3]
+                p = _PARAM_POS[c]
+                return srow_p[:, p : p + 3]
 
         t_shade = jnp.where(hit, t_hit, 1.0)
         point = o_c + t_shade[:, None] * d_c
@@ -394,9 +434,9 @@ def trace_replay(
             # takes carry no tangents; the texel gather IS the texel
             # gradient.
             if sd.num_tris > 0:
-                tid = jnp.where(is_tri, mrow[:, 18], srow[:, 30])
+                tid = jnp.where(is_tri, mrow_c[:, 5], srow_c[:, 13])
             else:
-                tid = srow[:, 30]
+                tid = srow_c[:, 13]
             tid = tid.astype(jnp.int32)
             u_s, v_s = intersect.sphere_uv(n_sph)
             if sd.num_tris > 0:
@@ -490,15 +530,25 @@ LONG_DIV = 64
 # 18% of lanes survive row 2 < the 1/4 budget, so the narrow path holds.
 GRAD_SPLIT_DEPTH = 2
 GRAD_LONG_DIV = 4
+# Budgets at or below this replay unsplit in the gradient path (the
+# compaction gathers cost more than the saved rows — measured on v5e).
+GRAD_SPLIT_MIN_DEPTH = 12
 # Static narrow passes in the differentiable tail (capacity = TAIL_PASSES /
 # GRAD_LONG_DIV of all lanes; overflow poisons the result with NaN — loud,
 # never silently biased).
 TAIL_PASSES = 2
+# Recursive narrowing: after the first split, the tail RE-SPLITS every
+# TAIL_SPLIT_DEPTH rows (deep-budget configs like depth 50 then cost
+# ~2 + 6/4 + 12/16 + 30/64 full-width-row equivalents instead of 50).
+# Six rows per level keeps each level's survivor fraction (~12-15% of its
+# set for book1-class scenes, dielectric chains decaying ~0.85/row) well
+# under the 2-pass * 1/4 = 50% capacity.
+TAIL_SPLIT_DEPTH = 6
 
 
 def replay_split(
     sd, o, d, pixel_ids, sample_ids, seed, max_depth, rec,
-    *, split_depth, long_div, early_exit,
+    *, split_depth, long_div, early_exit, bounce0=0, thr_in=None,
 ):
     """Head/tail lane-narrowed replay -> radiance (R, 3).
 
@@ -519,12 +569,13 @@ def replay_split(
     if max_depth <= k + 2:
         return trace_replay(
             sd, o, d, pixel_ids, sample_ids, seed, max_depth, rec,
-            early_exit=early_exit,
+            early_exit=early_exit, bounce0=bounce0, thr_in=thr_in,
         )
     r = o.shape[0]
     r_long = int(min(r, max(512, r // long_div)))
     rad_head, (o_k, d_k, thr_k) = trace_replay(
-        sd, o, d, pixel_ids, sample_ids, seed, k, rec[:k], return_carry=True
+        sd, o, d, pixel_ids, sample_ids, seed, k, rec[:k], return_carry=True,
+        bounce0=bounce0, thr_in=thr_in,
     )
     depth_lane = jnp.sum(((rec & F_ALIVE) > 0).astype(jnp.int32), axis=0)
     long_flag = depth_lane > k
@@ -547,7 +598,7 @@ def replay_split(
             jnp.arange(r_long, dtype=jnp.int32) < n_long - rank_lo
         )
         thr_sel = jnp.where(valid[:, None], jnp.take(thr_k, idx, axis=0), 0.0)
-        rad_l = trace_replay(
+        tail_args = (
             sd,
             jnp.take(o_k, idx, axis=0),
             jnp.take(d_k, idx, axis=0),
@@ -556,10 +607,20 @@ def replay_split(
             seed,
             max_depth - k,
             jnp.take(rec[k:], idx, axis=1),
-            early_exit=early_exit,
-            bounce0=k,
-            thr_in=thr_sel,
         )
+        if early_exit or max_depth - k <= TAIL_SPLIT_DEPTH + 2:
+            rad_l = trace_replay(
+                *tail_args, early_exit=early_exit, bounce0=bounce0 + k,
+                thr_in=thr_sel,
+            )
+        else:
+            # Recursive narrowing: the tail re-splits every TAIL_SPLIT_DEPTH
+            # rows, so deep-budget gradients (depth 50) narrow
+            # geometrically instead of paying 48 full-tail rows.
+            rad_l = replay_split(
+                *tail_args, split_depth=TAIL_SPLIT_DEPTH, long_div=long_div,
+                early_exit=False, bounce0=bounce0 + k, thr_in=thr_sel,
+            )
         return jnp.zeros((r, 3), jnp.float32).at[idx].add(rad_l)
 
     if early_exit:
@@ -568,7 +629,7 @@ def replay_split(
         def tail_full(_):
             return trace_replay(
                 sd, o_k, d_k, pixel_ids, sample_ids, seed, max_depth - k,
-                rec[k:], early_exit=True, bounce0=k, thr_in=thr_k,
+                rec[k:], early_exit=True, bounce0=bounce0 + k, thr_in=thr_k,
             )
 
         rad_tail = jax.lax.cond(
@@ -729,8 +790,15 @@ def render_rays_replay(
             max_depth,
             use_pallas=use_pallas,
         )
-    # Differentiable head/tail narrowing: rows past GRAD_SPLIT_DEPTH replay
-    # on compacted deep lanes only (static scans throughout — transposable).
+    # Shallow budgets replay unsplit: narrowing's compaction gathers at
+    # 8.3M lanes cost MORE than the rows they save (v5e, 1080p x 4spp d8:
+    # split fwd 1.15 s vs unsplit 0.33 s — TPU gathers ~7.5 ns/elem).
+    # Deep budgets (the 500-spp depth-50 north-star config) flip the
+    # trade: recursive narrowing replaces 40+ full-width rows.
+    if max_depth <= GRAD_SPLIT_MIN_DEPTH:
+        return trace_replay(
+            sd, o, d, pixel_ids, sample_ids, seed, max_depth, rec
+        )
     return replay_split(
         sd, o, d, pixel_ids, sample_ids, seed, max_depth, rec,
         split_depth=GRAD_SPLIT_DEPTH, long_div=GRAD_LONG_DIV,

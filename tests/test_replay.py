@@ -392,9 +392,11 @@ class TestRecordSchedule:
         )
         np.testing.assert_allclose(np.asarray(many), np.asarray(one), rtol=1e-5, atol=1e-5)
 
-    def test_grad_split_matches_unsplit(self):
+    @pytest.mark.parametrize("depth", [8, 14])
+    def test_grad_split_matches_unsplit(self, depth):
         """render_rays_replay narrows deep lanes past GRAD_SPLIT_DEPTH with
-        static scans; value AND gradients must match the unsplit replay
+        static scans (recursively re-splitting every TAIL_SPLIT_DEPTH rows
+        at depth 14); value AND gradients must match the unsplit replay
         (the head/tail handoff is bit-exact — same f32 op order, dead tail
         rows contribute nothing)."""
         import functools
@@ -403,7 +405,6 @@ class TestRecordSchedule:
         sd = sc.build()
         cp = sc.scene_cam.params()
         h = sc.scene_cam.image_height
-        depth = 8
         assert depth > replay_mod.GRAD_SPLIT_DEPTH + 2
         p = 24 * h
         pix = jnp.tile(jnp.arange(p, dtype=jnp.uint32), 2)

@@ -373,6 +373,46 @@ def fetchbench(r=1 << 20, n=512, c=32):
     log(bench="fetch_high_exact", max_abs_diff=float(jnp.abs(a - b).max()))
 
 
+def grad500(w=1920, h=1080, spp=500, depth=50, chunk=4):
+    """The STATED north-star fwd+bwd config (BASELINE.json): book1
+    1920x1080 @ 500 spp, max_depth 50 — measured as 125 accumulated
+    4-spp chunk gradients (grad.loss_and_grad_accum; sample0 traced, one
+    executable)."""
+    from crucible_tpu import grad as G
+    from crucible_tpu.models import demo
+
+    sc = demo.book1_end_scene(width=400)
+    sd = sc.build()
+    cp = sc.scene_cam.params()
+    params = G.extract_params(sd, cp)
+    pix = jnp.arange(w * h, dtype=jnp.uint32)
+    target = jnp.zeros((w * h, 3), jnp.float32)
+    # Warm-up: compile the one chunk executable.
+    l, g = G.loss_and_grad(
+        params, sd, cp, target, pix, jnp.uint32(0),
+        width=w, height=h, spp=chunk, max_depth=depth,
+    )
+    jax.block_until_ready(g)
+    t0 = time.time()
+    loss, grads = G.loss_and_grad_accum(
+        params, sd, cp, target, pix, jnp.uint32(1),
+        width=w, height=h, spp=spp, max_depth=depth, chunk_spp=chunk,
+    )
+    jax.block_until_ready(grads)
+    dt = time.time() - t0
+    finite = all(
+        bool(jnp.isfinite(x).all()) for x in jax.tree_util.tree_leaves(grads)
+    )
+    log(
+        bench="fwd_bwd_northstar_1080p_500spp_d50",
+        seconds=round(dt, 1),
+        mrays_per_s=round(w * h * spp / dt / 1e6, 3),
+        chunks=spp // chunk,
+        loss=round(float(loss), 5),
+        grads_finite=finite,
+    )
+
+
 def movie(duration=5.0, out="/tmp/first_movie_tpu"):
     """BASELINE config 5 end-to-end: the first_movie camera walk (metal
     ball + garden equirect sky), per-frame checkpoints (skip_existing),
@@ -424,5 +464,5 @@ if __name__ == "__main__":
         "quick": quick, "full": full, "micro": micro, "demos": demos,
         "grad": grad, "leafsweep": leafsweep, "r2": r2,
         "earthprof": earthprof, "gradprof": gradprof, "fetchbench": fetchbench,
-        "teapotx": teapotx, "movie": movie,
+        "teapotx": teapotx, "movie": movie, "grad500": grad500,
     }[mode]()
