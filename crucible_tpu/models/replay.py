@@ -56,6 +56,7 @@ from crucible_tpu.models import textures as tex_mod
 from crucible_tpu.models.camera import CameraParams, generate_rays
 from crucible_tpu.models.scene import SceneData
 from crucible_tpu.ops import intersect
+from crucible_tpu.ops.gather import take_rows_mm
 from crucible_tpu.utils import rng as crng
 from crucible_tpu.utils import vec
 from crucible_tpu.utils import backend
@@ -298,25 +299,19 @@ def trace_replay(
 
     # Split the winner fetch by gradient-carrying columns: only fuzz,
     # emission, albedo and checker colors are optimization variables
-    # (grad.extract_params); geometry/material scalars are constants, so
-    # their fetch runs under stop_gradient and contributes NO transpose
-    # scatter to the backward — the fetch transpose was the bulk of the
-    # replay bwd (fetchbench: fetch fwd ~= grad ~= 8 ms/M lanes; halving
-    # the differentiable width halves the scatter). Strategy is jnp.take
-    # (== one-hot matmul on v5e at c=32, and cost scales with columns).
+    # (grad.extract_params); everything else fetches from a STOP-GRADIENT
+    # table and contributes NO transpose to the backward. Both fetches are
+    # one-hot matmuls (take_rows_mm) sharing one (R, N) one-hot LHS (CSE):
+    # plain row gathers measured ~1.7x slower in-context on v5e, and the
+    # transpose contraction's cost follows the 16-col param table instead
+    # of the full 32 — the fetch transpose was the bulk of the replay bwd.
     sph_param_cols = np.array([7, 10, 11, 12, 14, 15, 16, 18, 19, 20, 21, 22, 23])
-    sph_const_cols = np.array([0, 1, 2, 3, 6, 8, 9, 13, 17, 24, 25, 26, 27, 30])
-    table_param = table[:, sph_param_cols]
-    table_const = jax.lax.stop_gradient(table)[:, sph_const_cols]
-    # Positional maps into the packed sub-rows (attr column -> position).
     _PARAM_POS = {7: 0, 10: 1, 14: 4, 18: 7, 21: 10}
-    _SPH_CONST_POS = {6: 4, 8: 5, 9: 6, 13: 7, 17: 8}
-    _MAT_CONST_POS = {6: 0, 8: 1, 9: 2, 13: 3, 17: 4}
+    table_const = jax.lax.stop_gradient(table)
+    table_param = jnp.pad(table[:, sph_param_cols], ((0, 0), (0, 3)))
     if mats is not None:
-        mats_param = mats[:, sph_param_cols - 6]  # same positional layout
-        mats_const = jax.lax.stop_gradient(mats)[
-            :, np.array([0, 2, 3, 7, 11, 18])
-        ]
+        mats_const = jax.lax.stop_gradient(mats)
+        mats_param = jnp.pad(mats[:, sph_param_cols - 6], ((0, 0), (0, 3)))
     else:
         mats_param = mats_const = None
 
@@ -335,15 +330,15 @@ def trace_replay(
         degen = (flags & F_DEGEN) > 0
         root1 = (flags & F_ROOT1) > 0
 
-        # --- winner attribute fetch: split const/param row gathers ---------
+        # --- winner attribute fetch: split const/param one-hot matmuls ----
         widx = jnp.where(is_tri, 0, idx)
-        srow_c = jnp.take(table_const, widx, axis=0)  # (R, 14), no-grad
-        srow_p = jnp.take(table_param, widx, axis=0)  # (R, 13), grads flow
+        srow_c = take_rows_mm(table_const, widx)  # (R, 32), no-grad
+        srow_p = take_rows_mm(table_param, widx)  # (R, 16), grads flow
         c_w = srow_c[:, 0:3]
         r_w = srow_c[:, 3]
         if sd.animated:
-            c_w = c_w + w[:, None] * srow_c[:, 9:12]
-            r_w = r_w + w * srow_c[:, 12]
+            c_w = c_w + w[:, None] * srow_c[:, 24:27]
+            r_w = r_w + w * srow_c[:, 27]
 
         # Hit t as the recorded root of the winner's quadratic — the same
         # implicit-function estimator as ops/intersect.py's custom VJP, but
@@ -381,19 +376,15 @@ def trace_replay(
             t_tri = jnp.sum(e2 * qvec, axis=-1) * inv_det
             n_tri = intersect.triangle_normal(v0, v1, v2)
             mi = jnp.take(sd.tri_mat, ti, axis=0)
-            mrow_c = jnp.take(mats_const, mi, axis=0)  # (R, 6), no-grad
-            mrow_p = jnp.take(mats_param, mi, axis=0)  # (R, 13), grads flow
+            mrow_c = take_rows_mm(mats_const, mi)  # (R, 24), no-grad
+            mrow_p = take_rows_mm(mats_param, mi)  # (R, 16), grads flow
             t_hit = jnp.where(is_tri, t_tri, t_sph)
 
-            def attr(c):  # sphere table column c (mats shares positions)
+            def attr(c):  # sphere table column c; mats stores c-6
                 if c in _PARAM_POS:
                     p = _PARAM_POS[c]
                     return jnp.where(is_tri, mrow_p[:, p], srow_p[:, p])
-                return jnp.where(
-                    is_tri,
-                    mrow_c[:, _MAT_CONST_POS[c]],
-                    srow_c[:, _SPH_CONST_POS[c]],
-                )
+                return jnp.where(is_tri, mrow_c[:, c - 6], srow_c[:, c])
 
             def attr3(c):
                 p = _PARAM_POS[c]
@@ -407,7 +398,7 @@ def trace_replay(
             def attr(c):
                 if c in _PARAM_POS:
                     return srow_p[:, _PARAM_POS[c]]
-                return srow_c[:, _SPH_CONST_POS[c]]
+                return srow_c[:, c]
 
             def attr3(c):
                 p = _PARAM_POS[c]
@@ -434,9 +425,9 @@ def trace_replay(
             # takes carry no tangents; the texel gather IS the texel
             # gradient.
             if sd.num_tris > 0:
-                tid = jnp.where(is_tri, mrow_c[:, 5], srow_c[:, 13])
+                tid = jnp.where(is_tri, mrow_c[:, 18], srow_c[:, 30])
             else:
-                tid = srow_c[:, 13]
+                tid = srow_c[:, 30]
             tid = tid.astype(jnp.int32)
             u_s, v_s = intersect.sphere_uv(n_sph)
             if sd.num_tris > 0:
@@ -537,13 +528,14 @@ GRAD_SPLIT_MIN_DEPTH = 12
 # GRAD_LONG_DIV of all lanes; overflow poisons the result with NaN — loud,
 # never silently biased).
 TAIL_PASSES = 2
-# Recursive narrowing: after the first split, the tail RE-SPLITS every
-# TAIL_SPLIT_DEPTH rows (deep-budget configs like depth 50 then cost
-# ~2 + 6/4 + 12/16 + 30/64 full-width-row equivalents instead of 50).
-# Six rows per level keeps each level's survivor fraction (~12-15% of its
-# set for book1-class scenes, dielectric chains decaying ~0.85/row) well
-# under the 2-pass * 1/4 = 50% capacity.
-TAIL_SPLIT_DEPTH = 6
+# Deep-budget gradients (depth 50) use ONE wider split instead: head
+# GRAD_DEEP_SPLIT_DEPTH rows full width, the remaining rows at
+# r/GRAD_DEEP_LONG_DIV x TAIL_PASSES. (A recursive re-split every 6 rows
+# was tried first: ~8 nested scan levels at depth 50 ballooned the remote
+# compile past 30 minutes.) Capacity 2/16 = 12.5% of lanes vs the ~2.2%
+# that survive row 8 on book1 — a 5.7x margin.
+GRAD_DEEP_SPLIT_DEPTH = 8
+GRAD_DEEP_LONG_DIV = 16
 
 
 def replay_split(
@@ -608,19 +600,10 @@ def replay_split(
             max_depth - k,
             jnp.take(rec[k:], idx, axis=1),
         )
-        if early_exit or max_depth - k <= TAIL_SPLIT_DEPTH + 2:
-            rad_l = trace_replay(
-                *tail_args, early_exit=early_exit, bounce0=bounce0 + k,
-                thr_in=thr_sel,
-            )
-        else:
-            # Recursive narrowing: the tail re-splits every TAIL_SPLIT_DEPTH
-            # rows, so deep-budget gradients (depth 50) narrow
-            # geometrically instead of paying 48 full-tail rows.
-            rad_l = replay_split(
-                *tail_args, split_depth=TAIL_SPLIT_DEPTH, long_div=long_div,
-                early_exit=False, bounce0=bounce0 + k, thr_in=thr_sel,
-            )
+        rad_l = trace_replay(
+            *tail_args, early_exit=early_exit, bounce0=bounce0 + k,
+            thr_in=thr_sel,
+        )
         return jnp.zeros((r, 3), jnp.float32).at[idx].add(rad_l)
 
     if early_exit:
@@ -801,6 +784,6 @@ def render_rays_replay(
         )
     return replay_split(
         sd, o, d, pixel_ids, sample_ids, seed, max_depth, rec,
-        split_depth=GRAD_SPLIT_DEPTH, long_div=GRAD_LONG_DIV,
+        split_depth=GRAD_DEEP_SPLIT_DEPTH, long_div=GRAD_DEEP_LONG_DIV,
         early_exit=False,
     )

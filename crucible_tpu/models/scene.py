@@ -651,6 +651,12 @@ class Scene:
         Both run through the native C++ builder (crucible_tpu/native) with
         a NumPy fallback, so large meshes build at C++ speed either way
         (ADVICE r2: the SAH default previously bypassed the native path).
+
+        BVH children are post-ordered near-first along the camera view axis
+        at build time (ops/bvh.py::reorder_front_to_back). The ordering is
+        a traversal-perf heuristic only — any child order renders the same
+        image — so a camera that moves WITHOUT dirtying the scene cache
+        merely keeps a stale (still valid) order.
         """
         if leaf_size is None:
             import jax as _jax
@@ -741,6 +747,29 @@ class Scene:
                 lo = np.minimum(va.min(axis=1), vb.min(axis=1))
                 hi = np.maximum(va.max(axis=1), vb.max(axis=1))
                 bvh = build_bvh(lo, hi, leaf_size=leaf_size, method=bvh_method)
+                # Near-first child order along the camera view axis: the
+                # skip-link DFS then visits leaves roughly front-to-back
+                # for primary rays, tightening best-t earlier (~26% fewer
+                # union-leaf visits on the teapot, tools/walk_sim.py).
+                cam = self.scene_cam
+                t0_cam = cam.shutter_window()[0]
+                cam_from = (
+                    cam.from_timeline.position_at(t0_cam)
+                    if cam.from_timeline is not None
+                    else cam.look_from_pt
+                )
+                cam_at = (
+                    cam.at_timeline.position_at(t0_cam)
+                    if cam.at_timeline is not None
+                    else cam.look_at_pt
+                )
+                view = np.asarray(cam_at, np.float64) - np.asarray(
+                    cam_from, np.float64
+                )
+                if np.linalg.norm(view) > 1e-12:
+                    from crucible_tpu.ops.bvh import reorder_front_to_back
+
+                    bvh = reorder_front_to_back(bvh, view)
                 perm = bvh.perm
                 v0, v1, v2, t_mat = v0[perm], v1[perm], v2[perm], t_mat[perm]
                 v0b, v1b, v2b = v0b[perm], v1b[perm], v2b[perm]

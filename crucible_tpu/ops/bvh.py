@@ -118,6 +118,7 @@ def build_bvh(
     leaf_size: int = 4,
     use_native: bool = True,
     method: str = "median",
+    order_dir=None,
 ) -> FlatBVH:
     """Build a flat BVH over M primitive AABBs.
 
@@ -136,8 +137,15 @@ def build_bvh(
         TILE-coherent traversal: a tile descends into every node ANY of its
         512 lanes hits, so child overlap multiplies union-leaf visits
         (tools/walk_sim.py measures the difference).
+      order_dir: optional (3,) direction; children are emitted NEAR-FIRST
+        along it (child-centroid projection). The skip-link DFS then visits
+        leaves roughly front-to-back for rays along that direction (e.g.
+        the camera view axis), tightening best-t earlier and culling later
+        subtrees — a traversal-order heuristic the pointer-tree reference
+        gets per-ray from its left-then-capped-right recursion
+        (bvhwrapper.rs:108-119).
     """
-    if use_native and method in ("median", "sah"):
+    if use_native and method in ("median", "sah") and order_dir is None:
         from crucible_tpu import native
 
         out = native.build_bvh_native(bb_min, bb_max, leaf_size, method=method)
@@ -181,6 +189,10 @@ def build_bvh(
             order = span[np.argsort(bb_min[span, axis], kind="stable")]
             mid = len(order) // 2
             left, right = order[:mid], order[mid:]
+        if order_dir is not None:
+            dvec = np.asarray(order_dir, np.float64)
+            if centers[left].mean(0) @ dvec > centers[right].mean(0) @ dvec:
+                left, right = right, left
         build(left, idx)
         build(right, idx)
         return idx
@@ -224,6 +236,77 @@ def build_bvh(
         node_miss=miss.astype(np.int32),
         node_parent=parents,
         perm=np.asarray(perm, np.int32),
+    )
+
+
+def reorder_front_to_back(b: FlatBVH, order_dir) -> FlatBVH:
+    """Re-emit the flat BVH with children ordered NEAR-FIRST along
+    ``order_dir`` (child box-center projection). The skip-link DFS then
+    visits leaves roughly front-to-back for rays along that direction (the
+    camera view axis), tightening best-t earlier and box-culling later
+    subtrees — tools/walk_sim.py measures 13.2 -> 9.8 union-leaf visits
+    per tile-bounce on the teapot. A post-pass, so it composes with the
+    native C++ builders. The pointer-tree reference gets a per-ray version
+    of this from its left-then-capped-right recursion
+    (bvhwrapper.rs:108-119)."""
+    d = np.asarray(order_dir, np.float64)
+    k = b.num_nodes
+    proj = (0.5 * (b.node_min + b.node_max) @ d).astype(np.float64)
+    out_min, out_max, out_first, out_count, out_parent = [], [], [], [], []
+    perm_runs = []
+    perm_len = 0
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 64 + 4 * k))
+
+    def emit(i: int, parent: int) -> None:
+        nonlocal perm_len
+        idx = len(out_min)
+        out_min.append(b.node_min[i])
+        out_max.append(b.node_max[i])
+        out_parent.append(parent)
+        c = int(b.node_count[i])
+        if c > 0:
+            out_first.append(perm_len)
+            out_count.append(c)
+            f = int(b.node_first[i])
+            perm_runs.append(b.perm[f : f + c])
+            perm_len += c
+            return
+        out_first.append(0)
+        out_count.append(0)
+        left = i + 1
+        right = int(b.node_miss[left])
+        first, second = (
+            (left, right) if proj[left] <= proj[right] else (right, left)
+        )
+        emit(first, idx)
+        emit(second, idx)
+
+    try:
+        emit(0, -1)
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    counts = np.asarray(out_count, np.int32)
+    parents = np.asarray(out_parent, np.int32)
+    children: list[list[int]] = [[] for _ in range(k)]
+    for i in range(1, k):
+        children[parents[i]].append(i)
+    subtree_end = np.zeros(k, np.int32)
+    for i in range(k - 1, -1, -1):
+        subtree_end[i] = i + 1 if counts[i] > 0 else subtree_end[children[i][-1]]
+
+    return FlatBVH(
+        node_min=np.stack(out_min).astype(np.float32),
+        node_max=np.stack(out_max).astype(np.float32),
+        node_first=np.asarray(out_first, np.int32),
+        node_count=counts,
+        node_miss=subtree_end,
+        node_parent=parents,
+        perm=np.concatenate(perm_runs).astype(np.int32),
     )
 
 

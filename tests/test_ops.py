@@ -297,3 +297,47 @@ class TestNativeBVH:
         np.testing.assert_allclose(
             res[0][0][res[0][1]], res[1][0][res[1][1]], rtol=1e-5, atol=1e-6
         )
+
+    def test_reorder_front_to_back(self, rng):
+        """Camera-ordered re-emission: same closest hits, children ordered
+        near-first along the view axis, all flat-layout invariants hold."""
+        from crucible_tpu.ops.bvh import build_bvh, reorder_front_to_back
+        from crucible_tpu.ops.traverse import bvh_hit_triangles
+
+        v0, v1, v2 = _random_tris(rng, 300)
+        bb_min = np.minimum(np.minimum(v0, v1), v2)
+        bb_max = np.maximum(np.maximum(v0, v1), v2)
+        base = build_bvh(bb_min, bb_max, leaf_size=8, method="sah")
+        view = np.array([0.3, -0.2, 1.0])
+        b = reorder_front_to_back(base, view)
+        k = b.num_nodes
+        assert k == base.num_nodes
+        np.testing.assert_array_equal(np.sort(b.perm), np.arange(300))
+        # children near-first: for every inner node, left child's center
+        # projection <= right child's
+        for i in range(k):
+            if b.node_count[i] > 0:
+                continue
+            left = i + 1
+            right = int(b.node_miss[left])
+            pl_ = 0.5 * (b.node_min[left] + b.node_max[left]) @ view
+            pr_ = 0.5 * (b.node_min[right] + b.node_max[right]) @ view
+            assert pl_ <= pr_ + 1e-5
+        o = jnp.asarray(rng.normal(size=(128, 3)) * 2, jnp.float32)
+        d = jnp.asarray(rng.normal(size=(128, 3)), jnp.float32)
+        res = []
+        for bb in (base, b):
+            t, _, hit = bvh_hit_triangles(
+                o, d,
+                jnp.asarray(v0[bb.perm]), jnp.asarray(v1[bb.perm]),
+                jnp.asarray(v2[bb.perm]),
+                jnp.asarray(bb.node_min), jnp.asarray(bb.node_max),
+                jnp.asarray(bb.node_first), jnp.asarray(bb.node_count),
+                jnp.asarray(bb.node_miss),
+                1e-3, np.float32(3e38), 8,
+            )
+            res.append((np.asarray(t), np.asarray(hit)))
+        np.testing.assert_array_equal(res[0][1], res[1][1])
+        np.testing.assert_allclose(
+            res[0][0][res[0][1]], res[1][0][res[1][1]], rtol=1e-5, atol=1e-6
+        )
