@@ -24,11 +24,11 @@ This module splits the work the TPU way:
    function of center/radius/ray — same estimator as the custom VJP in
    ops/intersect.py), normals, albedos, scatter directions (RNG uniforms
    are pure pcg4d hashes, recomputed bit-identically). Per-bounce work is
-   O(R) — no candidate matrices, no argmin — and per-winner attribute
-   fetches are row gathers SPLIT by gradient-carrying columns: constant
-   columns (geometry, material scalars) fetch under stop_gradient, so the
-   backward scatters only the 13 parameter columns (fetchbench: one-hot
-   matmul == row gather on v5e; cost scales with differentiable width).
+   O(R) — no candidate matrices, no argmin — and all per-winner attribute
+   fetches go through ONE one-hot matmul per table (ops/gather.take_rows_mm):
+   measured best on v5e against plain row gathers (~1.7x slower in-context)
+   and against const/param split fetches (the backward is remat-dominated,
+   not transpose-dominated).
 
 Gradients are mathematically identical to the detached-sampling estimator
 of the direct-AD path (same frozen decisions, same continuous tape);
@@ -297,23 +297,6 @@ def trace_replay(
 
     n_imgs = len(sd.tex.images)
 
-    # Split the winner fetch by gradient-carrying columns: only fuzz,
-    # emission, albedo and checker colors are optimization variables
-    # (grad.extract_params); everything else fetches from a STOP-GRADIENT
-    # table and contributes NO transpose to the backward. Both fetches are
-    # one-hot matmuls (take_rows_mm) sharing one (R, N) one-hot LHS (CSE):
-    # plain row gathers measured ~1.7x slower in-context on v5e, and the
-    # transpose contraction's cost follows the 16-col param table instead
-    # of the full 32 — the fetch transpose was the bulk of the replay bwd.
-    sph_param_cols = np.array([7, 10, 11, 12, 14, 15, 16, 18, 19, 20, 21, 22, 23])
-    _PARAM_POS = {7: 0, 10: 1, 14: 4, 18: 7, 21: 10}
-    table_const = jax.lax.stop_gradient(table)
-    table_param = jnp.pad(table[:, sph_param_cols], ((0, 0), (0, 3)))
-    if mats is not None:
-        mats_const = jax.lax.stop_gradient(mats)
-        mats_param = jnp.pad(mats[:, sph_param_cols - 6], ((0, 0), (0, 3)))
-    else:
-        mats_param = mats_const = None
 
     @jax.checkpoint
     def step(carry, xs):
@@ -330,15 +313,18 @@ def trace_replay(
         degen = (flags & F_DEGEN) > 0
         root1 = (flags & F_ROOT1) > 0
 
-        # --- winner attribute fetch: split const/param one-hot matmuls ----
-        widx = jnp.where(is_tri, 0, idx)
-        srow_c = take_rows_mm(table_const, widx)  # (R, 32), no-grad
-        srow_p = take_rows_mm(table_param, widx)  # (R, 16), grads flow
-        c_w = srow_c[:, 0:3]
-        r_w = srow_c[:, 3]
+        # --- winner attribute fetch: ONE one-hot matmul per table ----------
+        # Measured best on v5e: plain row gathers ran ~1.7x slower
+        # in-context, and splitting const/param columns into two matmuls
+        # (to shrink the backward transpose) cost more than it saved
+        # (unsplit bwd 0.839 s vs split 0.959 s at 1080p x 4spp d8) — the
+        # backward is remat + one-hot re-materialization, not transpose.
+        srow = take_rows_mm(table, jnp.where(is_tri, 0, idx))  # (R, 32)
+        c_w = srow[:, 0:3]
+        r_w = srow[:, 3]
         if sd.animated:
-            c_w = c_w + w[:, None] * srow_c[:, 24:27]
-            r_w = r_w + w * srow_c[:, 27]
+            c_w = c_w + w[:, None] * srow[:, 24:27]
+            r_w = r_w + w * srow[:, 27]
 
         # Hit t as the recorded root of the winner's quadratic — the same
         # implicit-function estimator as ops/intersect.py's custom VJP, but
@@ -375,34 +361,25 @@ def trace_replay(
             qvec = jnp.cross(o_c - v0, e1)
             t_tri = jnp.sum(e2 * qvec, axis=-1) * inv_det
             n_tri = intersect.triangle_normal(v0, v1, v2)
-            mi = jnp.take(sd.tri_mat, ti, axis=0)
-            mrow_c = take_rows_mm(mats_const, mi)  # (R, 24), no-grad
-            mrow_p = take_rows_mm(mats_param, mi)  # (R, 16), grads flow
+            mrow = take_rows_mm(mats, jnp.take(sd.tri_mat, ti, axis=0))
             t_hit = jnp.where(is_tri, t_tri, t_sph)
 
             def attr(c):  # sphere table column c; mats stores c-6
-                if c in _PARAM_POS:
-                    p = _PARAM_POS[c]
-                    return jnp.where(is_tri, mrow_p[:, p], srow_p[:, p])
-                return jnp.where(is_tri, mrow_c[:, c - 6], srow_c[:, c])
+                return jnp.where(is_tri, mrow[:, c - 6], srow[:, c])
 
             def attr3(c):
-                p = _PARAM_POS[c]
                 return jnp.where(
-                    is_tri[:, None], mrow_p[:, p : p + 3], srow_p[:, p : p + 3]
+                    is_tri[:, None], mrow[:, c - 6 : c - 3], srow[:, c : c + 3]
                 )
         else:
             t_hit = t_sph
             n_tri = None
 
             def attr(c):
-                if c in _PARAM_POS:
-                    return srow_p[:, _PARAM_POS[c]]
-                return srow_c[:, c]
+                return srow[:, c]
 
             def attr3(c):
-                p = _PARAM_POS[c]
-                return srow_p[:, p : p + 3]
+                return srow[:, c : c + 3]
 
         t_shade = jnp.where(hit, t_hit, 1.0)
         point = o_c + t_shade[:, None] * d_c
@@ -425,9 +402,9 @@ def trace_replay(
             # takes carry no tangents; the texel gather IS the texel
             # gradient.
             if sd.num_tris > 0:
-                tid = jnp.where(is_tri, mrow_c[:, 18], srow_c[:, 30])
+                tid = jnp.where(is_tri, mrow[:, 18], srow[:, 30])
             else:
-                tid = srow_c[:, 30]
+                tid = srow[:, 30]
             tid = tid.astype(jnp.int32)
             u_s, v_s = intersect.sphere_uv(n_sph)
             if sd.num_tris > 0:

@@ -63,7 +63,11 @@ import numpy as np
 BIG = np.float32(3.0e38)
 TILE = 512
 C_IN = 32  # sphere attribute table columns (sphere_shade.py layout)
-NODE_WIN = 16  # BVH nodes slab-tested per traversal iteration (one (W,T) batch)
+import os as _os
+
+# BVH nodes slab-tested per traversal iteration (one (W,T) batch).
+# Env-overridable for bench sweeps (tools/tpu_bench.py teapotx).
+NODE_WIN = int(_os.environ.get("CRUCIBLE_NODE_WIN", "16"))
 # Leaves taken per traversal iteration. The windowed walk is LEAF-
 # SERIALIZED (tools/walk_sim.py: iters ~ leaves+1 at MAX_LEAVES=1), so
 # taking several leaves per window amortizes the per-iteration fixed cost
@@ -71,7 +75,7 @@ NODE_WIN = 16  # BVH nodes slab-tested per traversal iteration (one (W,T) batch)
 # unlike the reverted (256,T) block (058c4f8) whose fixed-span blocks
 # inflated MT rows with masked dead weight. sim @ sah64: iters/tile
 # 14.0 -> 7.8 (ml=2, win16) -> 5.6 (ml=3, win16).
-MAX_LEAVES = 3
+MAX_LEAVES = int(_os.environ.get("CRUCIBLE_MAX_LEAVES", "3"))
 # The window's any-hit bits pack into ONE int32 word (1 << i per row); more
 # than 31 rows would overflow the shift and corrupt traversal (ADVICE r2).
 assert NODE_WIN <= 31, "hit-mask packing holds at most 31 window rows"
