@@ -46,6 +46,29 @@ class TestCli:
         b = read_ppm(frames[1]).astype(float)
         assert np.abs(a - b).mean() > 0.5  # the camera walk moved
 
+    def test_movie_on_frame_and_resume(self, tmp_path):
+        """on_frame fires per RENDERED frame with positive seconds;
+        skip_existing resumes without re-rendering (or re-firing)."""
+        from crucible_tpu.models import demo, render
+
+        sc = demo.first_movie(duration=0.5, frame_rate=4)
+        sc.scene_cam.image_width = 32
+        sc.scene_cam.set_samples(2)
+        sc.scene_cam.set_max_depth(2)
+        calls = []
+        render.render_movie(
+            sc, str(tmp_path / "mv2"), skip_existing=True, verbose=False,
+            on_frame=lambda i, dt: calls.append((i, dt)),
+        )
+        assert [i for i, _ in calls] == [0, 1]
+        assert all(dt > 0 for _, dt in calls)
+        calls2 = []
+        render.render_movie(
+            sc, str(tmp_path / "mv2"), skip_existing=True, verbose=False,
+            on_frame=lambda i, dt: calls2.append(i),
+        )
+        assert calls2 == []
+
     def test_threads_flag_accepted(self, tmp_path):
         # Reference parity: --threads exists; ignored here (mesh sharding).
         rc = main(
