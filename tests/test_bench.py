@@ -1,0 +1,59 @@
+"""bench.py harness behaviors that round evidence depends on (VERDICT r2
+weak #1): the accelerator probe must RETRY through transient tunnel wedges
+before demoting the round to a non-comparable CPU number."""
+
+import json
+
+import bench
+
+
+class TestHealthProbeRetry:
+    def test_retries_through_transient_wedge(self, monkeypatch):
+        import time
+
+        attempts = []
+        monkeypatch.setattr(
+            bench, "_probe_once",
+            lambda timeout_s: (attempts.append(1), len(attempts) >= 3)[1],
+        )
+        monkeypatch.setattr(time, "sleep", lambda s: None)
+        assert bench._device_healthy() is True
+        assert len(attempts) == 3
+
+    def test_gives_up_after_backoff(self, monkeypatch):
+        import time
+
+        attempts = []
+        sleeps = []
+        monkeypatch.setattr(
+            bench, "_probe_once", lambda timeout_s: (attempts.append(1), False)[1]
+        )
+        monkeypatch.setattr(time, "sleep", lambda s: sleeps.append(s))
+        assert bench._device_healthy() is False
+        assert len(attempts) == 5
+        assert sum(sleeps) >= 300  # several minutes of backoff, not one shot
+
+
+class TestBaselineComparison:
+    def test_cpu_fallback_artifacts_are_skipped(self, tmp_path, monkeypatch):
+        """vs_baseline must compare against the latest TPU-backed round,
+        never a CPU-fallback artifact (BENCH_r02)."""
+        monkeypatch.chdir(tmp_path)
+        (tmp_path / "BENCH_r01.json").write_text(
+            json.dumps({"value": 100.0, "backend": "tpu"})
+        )
+        (tmp_path / "BENCH_r02.json").write_text(
+            json.dumps({"value": 5.0, "backend": "cpu"})
+        )
+        # Reproduce main()'s selection loop.
+        import glob
+
+        vs = None
+        for path in sorted(glob.glob("BENCH_r*.json"), reverse=True):
+            prev = json.loads(open(path).read())
+            if prev.get("backend", "tpu") == "cpu":
+                continue
+            if prev.get("value"):
+                vs = 200.0 / float(prev["value"])
+                break
+        assert vs == 2.0
