@@ -174,6 +174,8 @@ def main() -> None:
             try:
                 with open(path) as f:
                     prev = json.load(f)
+                # The driver wraps the bench line under "parsed".
+                prev = prev.get("parsed", prev)
                 if prev.get("backend", "tpu") == "cpu":
                     continue
                 if prev.get("value"):

@@ -39,11 +39,12 @@ class TestBaselineComparison:
         """vs_baseline must compare against the latest TPU-backed round,
         never a CPU-fallback artifact (BENCH_r02)."""
         monkeypatch.chdir(tmp_path)
+        # The driver wraps the bench line under "parsed" (BENCH_r01.json).
         (tmp_path / "BENCH_r01.json").write_text(
-            json.dumps({"value": 100.0, "backend": "tpu"})
+            json.dumps({"parsed": {"value": 100.0, "backend": "tpu"}})
         )
         (tmp_path / "BENCH_r02.json").write_text(
-            json.dumps({"value": 5.0, "backend": "cpu"})
+            json.dumps({"parsed": {"value": 5.0, "backend": "cpu"}})
         )
         # Reproduce main()'s selection loop.
         import glob
@@ -51,6 +52,7 @@ class TestBaselineComparison:
         vs = None
         for path in sorted(glob.glob("BENCH_r*.json"), reverse=True):
             prev = json.loads(open(path).read())
+            prev = prev.get("parsed", prev)
             if prev.get("backend", "tpu") == "cpu":
                 continue
             if prev.get("value"):
