@@ -701,6 +701,7 @@ def render_rays_replay(
     max_depth: int,
     use_pallas: bool = False,
     record_mode: str = "auto",
+    rec=None,
 ):
     """Primary rays + record + differentiable replay -> radiance (R, 3).
 
@@ -712,6 +713,14 @@ def render_rays_replay(
     'staged' (lockstep wavefront trace_record — the semantic reference), or
     'auto' (mega when the scene supports it and a real accelerator is
     present; interpret-mode pallas on CPU is too slow to default to).
+
+    ``rec``: optional PRECOMPUTED packed records for these exact
+    (pixel, sample, seed) lanes — skips the record pass entirely. The
+    frozen-decision training pattern (grad.record_decisions +
+    grad.loss_and_grad): decisions depend only on geometry, material
+    scalars and the camera, NOT on albedo/emission/texel values, so
+    radiometric-parameter optimization can re-record every K steps and run
+    replay-only gradient steps in between.
     """
     if record_mode == "auto":
         record_mode = (
@@ -727,7 +736,9 @@ def render_rays_replay(
     # while_loop, raw Pallas intersection) must not carry tangents at all —
     # while_loop has no linearization with unknown primals and the fused
     # kernel has no JVP rule. Detach every float input.
-    if record_mode == "mega":
+    if rec is not None:
+        pass  # precomputed (frozen-decision training): skip the record pass
+    elif record_mode == "mega":
         rec = trace_record_mega(
             jax.lax.stop_gradient(sd),
             jax.lax.stop_gradient(cp),

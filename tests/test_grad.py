@@ -254,3 +254,53 @@ class TestAccumulatedGradient:
             params, sd, cp, target, pix, jnp.uint32(0), sample0=jnp.uint32(2), **kw
         )
         assert float(l0) != float(l1)
+
+
+class TestFrozenDecisionTraining:
+    def test_frozen_records_match_inline(self):
+        """loss_and_grad(..., rec=record_decisions(...)) must equal the
+        normal path exactly at the recording params (same decisions, same
+        tape) — the frozen-decision training contract."""
+        sc = demo.smoke_scene(width=24)
+        sd, cp, pix, target, params, kw = _setup(
+            sc, width=24, height=13, spp=2, depth=4
+        )
+        rec = G.record_decisions(
+            sd, cp, pix, jnp.uint32(0),
+            width=24, height=13, spp=2, max_depth=4,
+        )
+        kw["method"] = "replay"
+        l0, g0 = G.loss_and_grad(params, sd, cp, target, pix, jnp.uint32(0), **kw)
+        l1, g1 = G.loss_and_grad(
+            params, sd, cp, target, pix, jnp.uint32(0), rec=rec, **kw
+        )
+        assert float(l0) == float(l1)
+        np.testing.assert_array_equal(
+            np.asarray(g0["tex_color"]), np.asarray(g1["tex_color"])
+        )
+
+    def test_frozen_records_track_albedo_updates(self):
+        """A few frozen-record gradient steps on albedo reduce the loss —
+        the replay-only step is a usable optimizer step."""
+        import optax
+
+        sc = demo.smoke_scene(width=24)
+        sd, cp, pix, target, params, kw = _setup(
+            sc, width=24, height=13, spp=2, depth=4
+        )
+        kw["method"] = "replay"
+        rec = G.record_decisions(
+            sd, cp, pix, jnp.uint32(0),
+            width=24, height=13, spp=2, max_depth=4,
+        )
+        opt = optax.adam(0.05)
+        state = opt.init(params)
+        losses = []
+        for _ in range(5):
+            loss, grads = G.loss_and_grad(
+                params, sd, cp, target, pix, jnp.uint32(0), rec=rec, **kw
+            )
+            losses.append(float(loss))
+            upd, state = opt.update(grads, state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+        assert losses[-1] < losses[0]

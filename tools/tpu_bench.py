@@ -373,6 +373,46 @@ def fetchbench(r=1 << 20, n=512, c=32):
     log(bench="fetch_high_exact", max_abs_diff=float(jnp.abs(a - b).max()))
 
 
+def frozen(w=1920, h=1080, spp=4, depth=8, steps=5):
+    """Frozen-decision training step rate: record once, run replay-only
+    gradient steps (grad.record_decisions + loss_and_grad(rec=...))."""
+    from crucible_tpu import grad as G
+    from crucible_tpu.models import demo
+
+    sc = demo.book1_end_scene(width=400)
+    sd = sc.build()
+    cp = sc.scene_cam.params()
+    params = G.extract_params(sd, cp)
+    pix = jnp.arange(w * h, dtype=jnp.uint32)
+    target = jnp.zeros((w * h, 3), jnp.float32)
+    kw = dict(width=w, height=h, spp=spp, max_depth=depth, method="replay")
+
+    t0 = time.time()
+    rec = jax.block_until_ready(
+        G.record_decisions(sd, cp, pix, jnp.uint32(0),
+                           width=w, height=h, spp=spp, max_depth=depth)
+    )
+    rec_s = time.time() - t0
+    loss, g = G.loss_and_grad(
+        params, sd, cp, target, pix, jnp.uint32(0), rec=rec, **kw
+    )
+    jax.block_until_ready(g)
+    t0 = time.time()
+    for _ in range(steps):
+        loss, g = G.loss_and_grad(
+            params, sd, cp, target, pix, jnp.uint32(0), rec=rec, **kw
+        )
+    jax.block_until_ready(g)
+    dt = (time.time() - t0) / steps
+    log(
+        bench=f"fwd_bwd_frozen_{w}x{h}x{spp}spp_d{depth}",
+        record_s=round(rec_s, 3),
+        step_seconds=round(dt, 3),
+        mrays_per_s=round(w * h * spp / dt / 1e6, 3),
+        loss=round(float(loss), 5),
+    )
+
+
 def grad500(w=1920, h=1080, spp=500, depth=50, chunk=4):
     """The STATED north-star fwd+bwd config (BASELINE.json): book1
     1920x1080 @ 500 spp, max_depth 50 — measured as 125 accumulated
@@ -464,5 +504,5 @@ if __name__ == "__main__":
         "quick": quick, "full": full, "micro": micro, "demos": demos,
         "grad": grad, "leafsweep": leafsweep, "r2": r2,
         "earthprof": earthprof, "gradprof": gradprof, "fetchbench": fetchbench,
-        "teapotx": teapotx, "movie": movie, "grad500": grad500,
+        "teapotx": teapotx, "movie": movie, "grad500": grad500, "frozen": frozen,
     }[mode]()
