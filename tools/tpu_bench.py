@@ -388,21 +388,22 @@ def frozen(w=1920, h=1080, spp=4, depth=8, steps=5):
     kw = dict(width=w, height=h, spp=spp, max_depth=depth, method="replay")
 
     t0 = time.time()
-    rec = jax.block_until_ready(
-        G.record_decisions(sd, cp, pix, jnp.uint32(0),
-                           width=w, height=h, spp=spp, max_depth=depth)
-    )
+    rec = G.record_decisions(sd, cp, pix, jnp.uint32(0),
+                             width=w, height=h, spp=spp, max_depth=depth)
+    int(np.asarray(rec[0, 0]))  # forced fetch
     rec_s = time.time() - t0
     loss, g = G.loss_and_grad(
         params, sd, cp, target, pix, jnp.uint32(0), rec=rec, **kw
     )
-    jax.block_until_ready(g)
+    float(loss)  # forced D2H fetch: block_until_ready alone can no-op
+    # through the axon tunnel (queued executions drain into the NEXT
+    # timing window); a scalar fetch of the last loss is a real barrier.
     t0 = time.time()
     for _ in range(steps):
         loss, g = G.loss_and_grad(
             params, sd, cp, target, pix, jnp.uint32(0), rec=rec, **kw
         )
-    jax.block_until_ready(g)
+    float(loss)
     dt = (time.time() - t0) / steps
     log(
         bench=f"fwd_bwd_frozen_{w}x{h}x{spp}spp_d{depth}",
