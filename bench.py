@@ -131,6 +131,7 @@ def main() -> None:
     # every driver bench. The r1-comparable 192x108 number is also emitted.
     bwd_rps = None
     bwd_small_rps = None
+    frozen_rps = None
     if do_grad:
         if jax.default_backend() == "cpu":
             configs = [("fwd_bwd", 64, 36, 2, 4)]
@@ -164,6 +165,28 @@ def main() -> None:
                 bwd_rps = bw * bh * bspp / bwd_s
             else:
                 bwd_small_rps = bw * bh * bspp / bwd_s
+
+        # Frozen-decision step rate (BASELINE.md): record once, replay-only
+        # gradient steps — the training mode for radiometric parameters.
+        if jax.default_backend() != "cpu":
+            bw, bh, bspp, bdepth = configs[0][1:]
+            pix = jnp.arange(bw * bh, dtype=jnp.uint32)
+            target = jnp.zeros((bw * bh, 3), jnp.float32)
+            kw = dict(width=bw, height=bh, spp=bspp, max_depth=bdepth)
+            rec = grad_mod.record_decisions(
+                sd, cp, pix, jnp.uint32(0), **kw
+            )
+            loss, grads = grad_mod.loss_and_grad(
+                params, sd, cp, target, pix, jnp.uint32(0), rec=rec, **kw
+            )
+            float(loss)  # forced fetch: real barrier through the tunnel
+            t0 = time.time()
+            for _ in range(3):
+                loss, grads = grad_mod.loss_and_grad(
+                    params, sd, cp, target, pix, jnp.uint32(0), rec=rec, **kw
+                )
+            float(loss)
+            frozen_rps = bw * bh * bspp / ((time.time() - t0) / 3)
 
     # --- vs_baseline: latest previous round that ran on TPU ---------------
     # CPU fallbacks (BENCH_r02) are non-comparable: skip them when picking
@@ -200,6 +223,8 @@ def main() -> None:
         out["fwd_bwd_rays_per_sec"] = round(bwd_rps, 1)
     if bwd_small_rps is not None:
         out["fwd_bwd_rays_per_sec_192x108"] = round(bwd_small_rps, 1)
+    if frozen_rps is not None:
+        out["fwd_bwd_frozen_decisions_rays_per_sec"] = round(frozen_rps, 1)
     print(json.dumps(out))
 
 
