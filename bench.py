@@ -97,11 +97,17 @@ def main() -> None:
     cp = sc.scene_cam.params()
     w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
 
-    # --- forward: persistent wavefront, one warmup (compile) + timed run --
+    # --- forward: persistent wavefront, one warmup (compile) + timed runs.
+    # Best of 2: a single dispatch through the tunnel occasionally absorbs
+    # a multi-second queue stall (observed 5.8 vs 10.0 s for identical
+    # work), which is latency noise, not render throughput.
     render.render_image_persistent(sd, cp, w, h, 2, depth, 0)
-    t0 = time.time()
-    img = render.render_image_persistent(sd, cp, w, h, spp, depth, 1)
-    fwd_s = time.time() - t0
+    fwd_s = None
+    for rep in range(2):
+        t0 = time.time()
+        img = render.render_image_persistent(sd, cp, w, h, spp, depth, 1 + rep)
+        dt = time.time() - t0
+        fwd_s = dt if fwd_s is None else min(fwd_s, dt)
     fwd_rays = w * h * spp
     fwd_rps = fwd_rays / fwd_s
     assert np.isfinite(img).all()

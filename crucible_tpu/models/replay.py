@@ -485,17 +485,17 @@ def trace_replay(
 
 
 # Head/tail replay split: rows 0..split_depth-1 replay at full lane width;
-# lanes still alive past that are COMPACTED via top_k to an R/long_div
-# budget, so the deep tail stops paying full-width row costs
-# (earthprof_400w: 50 live rows, replay 0.301 s of a 0.339 s chunk).
+# lanes still alive past that are stream-compacted (prefix-sum rank +
+# drop-mode scatter) to an R/long_div budget, so the deep tail stops
+# paying full-width row costs (earthprof_400w: 50 live rows, replay
+# 0.301 s of a 0.339 s chunk).
 # Forward (deep-budget scenes, depth 50, ~1e-4 of lanes survive row 8):
 SPLIT_DEPTH = 8
 LONG_DIV = 64
-# Gradient (training configs, depth ~8, mean path ~2.9): shallow head and
-# a generous tail budget — the static scan pays full width per ROW either
-# way, so cutting 6 of 8 rows to quarter width is the fwd+bwd lever
-# (VERDICT r2 #2). book1 row-alive fractions [1, .83, .34, .18, .098, ...]:
-# 18% of lanes survive row 2 < the 1/4 budget, so the narrow path holds.
+# Shallow-split parameters: NOT on the production path (at depth ~8 the
+# compaction gathers cost more than the 6 rows they save — BASELINE.md
+# negative results); kept as the exercised configuration of the
+# split-vs-unsplit bit-exactness test (tests/test_replay.py).
 GRAD_SPLIT_DEPTH = 2
 GRAD_LONG_DIV = 4
 # Budgets at or below this replay unsplit in the gradient path (the
