@@ -157,7 +157,7 @@ def grad(
             )
 
 
-def leafsweep(width=400, spp=32, depth=50, sizes=(32, 64, 128)):
+def leafsweep(width=400, spp=32, depth=50, sizes=(32, 48, 64, 96, 128)):
     """Teapot BVH leaf-size sweep through the megakernel. With BATCHED leaf
     tests, leaf flops per tested-triangle are constant while node count
     halves per doubling — measures where the scalar node walk stops
@@ -491,6 +491,16 @@ def r2():
     grad()
 
 
+def r3():
+    """The round-3 measurement matrix (reproducibility: run ONE at a time)."""
+    demos()
+    gradprof()
+    grad()
+    frozen()
+    grad500()
+    movie()
+
+
 def full():
     micro()
     quick(400)
@@ -503,7 +513,7 @@ if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
     {
         "quick": quick, "full": full, "micro": micro, "demos": demos,
-        "grad": grad, "leafsweep": leafsweep, "r2": r2,
+        "grad": grad, "leafsweep": leafsweep, "r2": r2, "r3": r3,
         "earthprof": earthprof, "gradprof": gradprof, "fetchbench": fetchbench,
         "teapotx": teapotx, "movie": movie, "grad500": grad500, "frozen": frozen,
     }[mode]()
