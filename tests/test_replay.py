@@ -456,3 +456,50 @@ class TestRecordSchedule:
         )
         d = np.abs(img - ref)
         assert d.mean() < 3e-3 and (d > 1e-3).mean() < 0.03, d.max()
+
+
+class TestTailOverflowGuard:
+    def test_overflow_poisons_loudly(self):
+        """When more lanes survive the split head than the static tail
+        capacity, the differentiable split must return NaN (a loud failed
+        finite-check downstream) — never a silently truncated radiance.
+        Scene: camera inside a mirror sphere, so EVERY lane survives to
+        max_depth."""
+        sc = Scene.new_image(1.0, 32)
+        sc.scene_cam.look_from((0, 0, 0))
+        sc.scene_cam.look_at((0, 0, -1))
+        sc.scene_cam.set_vfov(60.0)
+        # Enclosing mirror: rays reflect forever (fuzz 0 keeps scatter
+        # above the inner surface).
+        sc.add_element(Sphere((0, 0, 0), 10.0, Metal((0.9, 0.9, 0.9), 0.0)), "shell")
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        depth = 8
+        # r=2048 lanes: past the 512-lane tail-budget floor, so capacity
+        # 2 * max(512, r/4) = 1024 < r survivors.
+        p = 32 * 32
+        pix = jnp.tile(jnp.arange(p, dtype=jnp.uint32), 2)
+        smp = jnp.repeat(jnp.arange(2, dtype=jnp.uint32), p)
+        seed = jnp.uint32(0)
+        o, d, _ = generate_rays(cp, 32, 32, pix, smp, seed)
+        rec = replay_mod.trace_record(sd, o, d, pix, smp, seed, depth)
+        depth_lane = np.asarray(
+            ((np.asarray(rec) & replay_mod.F_ALIVE) > 0).sum(0)
+        )
+        assert (depth_lane == depth).all()  # everyone survives
+        rad = replay_mod.replay_split(
+            sd, o, d, pix, smp, seed, depth, rec,
+            split_depth=2, long_div=4, early_exit=False,
+        )
+        # capacity = TAIL_PASSES * r/4 = r/2 < r survivors -> poisoned.
+        assert bool(jnp.isnan(rad).any())
+        # The forward (early-exit) variant keeps its full-width cond
+        # fallback and stays exact/finite.
+        rad_fwd = replay_mod.replay_split(
+            sd, o, d, pix, smp, seed, depth, rec,
+            split_depth=2, long_div=4, early_exit=True,
+        )
+        ref = replay_mod.trace_replay(sd, o, d, pix, smp, seed, depth, rec)
+        np.testing.assert_allclose(
+            np.asarray(rad_fwd), np.asarray(ref), rtol=1e-6, atol=1e-7
+        )
