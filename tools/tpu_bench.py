@@ -439,7 +439,8 @@ def grad500(w=1920, h=1080, spp=500, depth=50, chunk=4):
         params, sd, cp, target, pix, jnp.uint32(1),
         width=w, height=h, spp=spp, max_depth=depth, chunk_spp=chunk,
     )
-    jax.block_until_ready(grads)
+    loss = float(loss)  # forced fetch BEFORE dt: block_until_ready can
+    # no-op through the tunnel and leak queued work past the timer
     dt = time.time() - t0
     finite = all(
         bool(jnp.isfinite(x).all()) for x in jax.tree_util.tree_leaves(grads)
@@ -449,7 +450,7 @@ def grad500(w=1920, h=1080, spp=500, depth=50, chunk=4):
         seconds=round(dt, 1),
         mrays_per_s=round(w * h * spp / dt / 1e6, 3),
         chunks=spp // chunk,
-        loss=round(float(loss), 5),
+        loss=round(loss, 5),
         grads_finite=finite,
     )
 
