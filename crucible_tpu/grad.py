@@ -99,6 +99,14 @@ def render_pixels_mean(
                 file=sys.stderr,
             )
             method = "ad"
+    if rec is not None and method != "replay":
+        # Silently dropping precomputed records would turn a frozen-decision
+        # training loop into full re-decision AD steps (ADVICE r3).
+        raise ValueError(
+            "precomputed decision records (rec=...) require the replay "
+            f"gradient path, but method resolved to {method!r} — this scene "
+            "is outside replay coverage (replay.replay_supported)"
+        )
     p = pixel_ids.shape[0]
     pix = jnp.tile(pixel_ids, spp)
     smp = jnp.repeat(
@@ -202,9 +210,14 @@ def loss_and_grad_accum(
     ONE compiled executable.
 
     Note the objective is the MEAN OF CHUNK LOSSES (standard minibatch
-    SGD over sample windows), not the L2 of the all-sample mean image —
-    the two coincide as chunk_spp -> spp and have the same minimizers for
-    unbiased estimators.
+    SGD over sample windows), not the L2 of the all-sample mean image.
+    The two coincide as chunk_spp -> spp; at smaller chunks the expectation
+    E[chunk MSE] = MSE of the true mean image + Var(chunk estimator) /
+    chunk_spp, i.e. the objective is a variance-penalized minibatch MSE.
+    Minimizers coincide only when the estimator variance is parameter-
+    independent; parameters that modulate variance (fuzz/roughness) feel
+    an extra variance-reducing pull, as in any minibatch MC objective
+    (ADVICE r3).
     """
     assert spp % chunk_spp == 0, (spp, chunk_spp)
     n = spp // chunk_spp

@@ -82,6 +82,23 @@ F_ROOT1 = 128  # sphere hit used the far quadratic root
 REC_ID_SCALE = 256
 
 
+# Winner ids must fit bits 8..30 of the int32 record word; beyond this the
+# packed word overflows into the sign bit and shift_right_logical decodes a
+# garbage id (silently wrong radiance/gradients). Enforced loudly at every
+# record entry point (ADVICE r3).
+REC_MAX_IDS = 1 << 23
+
+
+def _check_record_capacity(sd: SceneData) -> None:
+    n_sph = int(sd.sph_center.shape[0])  # padded table rows (the id space)
+    if sd.num_tris >= REC_MAX_IDS or n_sph >= REC_MAX_IDS:
+        raise ValueError(
+            f"scene exceeds the packed-record id capacity (2^23): "
+            f"{sd.num_tris} triangles / {n_sph} sphere rows — the record/"
+            f"replay gradient path cannot represent winner ids this large"
+        )
+
+
 def pack_record(win_id, flags):
     """Assemble packed words from (R,) winner ids (already masked to hit
     rows) and (R,) int32 flag words."""
@@ -131,6 +148,7 @@ def trace_record(
     Returns packed records (D, R) int32 (winner id * 256 + flag byte).
     Rows past the wavefront's death are all-zero (F_ALIVE clear).
     """
+    _check_record_capacity(sd)
     r = o.shape[0]
     rec0 = jnp.zeros((max_depth, r), jnp.int32)
 
@@ -212,6 +230,7 @@ def trace_record_mega(
 
     Returns packed records (D, R) int32.
     """
+    _check_record_capacity(sd)
     from crucible_tpu.ops.pallas import megakernel as mk
 
     r = pixel_ids.shape[0]
@@ -269,6 +288,7 @@ def trace_replay(
     bounce0: int = 0,
     thr_in=None,
     return_carry: bool = False,
+    accum_from: int = 0,
 ):
     """Differentiable O(R * depth) replay of recorded decisions -> (R, 3).
 
@@ -283,7 +303,13 @@ def trace_replay(
     slice starting at absolute bounce ``bounce0`` (keeps the per-bounce RNG
     streams aligned), ``thr_in`` seeds the throughput carry, and
     ``return_carry=True`` additionally returns (o, d, thr) after the last
-    replayed row."""
+    replayed row.
+
+    ``accum_from``: rows with absolute bounce index below it update the
+    path carry (origin/direction/throughput) but add NOTHING to radiance —
+    the depth-bucketed replay re-walks a lane's head rows from the primary
+    ray instead of gathering float carries across a compaction boundary
+    (see :func:`replay_bucketed`)."""
     r = o.shape[0]
     table = integrator.make_sphere_table(sd)  # (N, 32), differentiable
     if sd.num_tris > 0:
@@ -391,7 +417,11 @@ def trace_replay(
         sky = sky_mod.radiance(sd.sky_kind, sd.sky_image, d_c)
         emission = attr3(10)
         contrib = jnp.where(hit[:, None], emission, sky)
-        rad = rad + jnp.where(alive[:, None], thr * contrib, 0.0)
+        live = (
+            alive if accum_from <= 0
+            else alive & (bounce >= jnp.int32(accum_from))
+        )
+        rad = rad + jnp.where(live[:, None], thr * contrib, 0.0)
 
         # --- albedo: solid / checker / image (models/textures.py) ----------
         if n_imgs or sd.tex.max_nest > 1:
@@ -614,6 +644,127 @@ def replay_split(
     return rad_head + rad_tail
 
 
+# Depth-bucketed replay (the r4 deep-budget gradient path). Spec entries
+# are (depth_limit, width_divisor); the first bucket is the full-width head,
+# a limit of 0 stretches to max_depth. Divisor capacities carry the same
+# NaN-overflow-guard contract as replay_split (loud, never silently biased):
+# r/8 = 12.5% vs the ~2.2% of book1 lanes alive past row 8 (5.7x margin),
+# r/32 = 3.1% vs ~0.3% past row 16 (~10x).
+GRAD_BUCKET_SPEC = ((8, 1), (16, 8), (0, 32))
+
+
+def _bucket_spec(max_depth: int, spec=None):
+    """Normalize the bucket spec against ``max_depth``: clip limits, drop
+    now-empty buckets, stretch the last to max_depth. Override with the
+    ``CRUCIBLE_GRAD_BUCKETS`` env var ("8:1,16:8,0:32")."""
+    import os
+
+    if spec is None:
+        env = os.environ.get("CRUCIBLE_GRAD_BUCKETS")
+        if env:
+            spec = tuple(
+                (int(a), int(b))
+                for a, b in (part.split(":") for part in env.split(","))
+            )
+        else:
+            spec = GRAD_BUCKET_SPEC
+    lims, divs = [], []
+    for lim, dv in spec:
+        lim = max_depth if lim <= 0 else min(lim, max_depth)
+        if lims and lim <= lims[-1]:
+            continue
+        lims.append(lim)
+        divs.append(dv)
+    lims[-1] = max_depth
+    return lims, divs
+
+
+def replay_bucketed(
+    sd, cp, width, height, o, d, pixel_ids, sample_ids, seed, max_depth, rec,
+    *, spec=None, passes: int = 1,
+):
+    """Depth-bucketed differentiable replay -> radiance (R, 3).
+
+    The record pass makes every lane's path depth known data, so the deep
+    tail never has to run full width: lanes are partitioned by depth into
+    static scan lengths (bucket 0 full width over the head rows; deeper
+    buckets stream-compacted to r/div lanes and scanned to their limit).
+    This sidesteps the "static scans can't early-exit under reverse-mode"
+    wall of the bounce recursion being differentiated
+    (src/camera/ray_casting.rs:112-152) without dynamic shapes.
+
+    What it deliberately does NOT do (the r3 split's measured overhead):
+    hand float carries across the compaction boundary. (R, 3) state gathers
+    are layout-poisoned on TPU (minor dim 3 pads to 128 lanes) and their
+    backward transposes to full-width scatter-adds. Instead a bucket re-walks
+    its lanes' HEAD rows from the primary ray (regenerated bit-identically
+    from the gathered integer pixel/sample ids — pcg4d streams are pure
+    hashes) with radiance accumulation masked off below ``accum_from``; only
+    integers cross the boundary. Head rows are cheap (bucket widths are
+    narrow) and their recomputation IS the carry.
+
+    Radiance identity with the unsplit replay: bucket 0 accumulates rows
+    0..d0-1 for every lane; bucket j accumulates rows d0..dj-1 for exactly
+    the lanes whose depth lands in (d(j-1), dj]. Per lane the two partial
+    sums concatenate in row order, so values match the unsplit replay to
+    f32 association (exactly, when at most one row contributes — miss-row
+    sky with zero emission) and gradients match identically (same frozen
+    decisions, same continuous ops).
+
+    Overflow beyond a bucket's static capacity (``passes`` * r/div) poisons
+    the result with NaN — loud, never silently biased.
+    """
+    lims, divs = _bucket_spec(max_depth, spec)
+    r = o.shape[0]
+    d0 = lims[0]
+    rad = trace_replay(
+        sd, o, d, pixel_ids, sample_ids, seed, d0, rec[:d0]
+    )
+    if len(lims) == 1:
+        return rad
+    depth_lane = jnp.sum(((rec & F_ALIVE) > 0).astype(jnp.int32), axis=0)
+    for j in range(1, len(lims)):
+        dj, dv = lims[j], divs[j]
+        lo_lim = lims[j - 1]
+        in_b = (depth_lane > lo_lim) & (depth_lane <= dj)
+        n_b = jnp.sum(in_b.astype(jnp.int32))
+        rank = jnp.cumsum(in_b.astype(jnp.int32)) - 1
+        r_b = int(min(r, max(512, r // dv)))
+        for p in range(passes):
+            lo = p * r_b
+            pos = rank - lo
+            in_pass = in_b & (pos >= 0) & (pos < r_b)
+            slot = jnp.where(in_pass, pos, r_b)  # r_b = dropped
+            idx = (
+                jnp.zeros((r_b,), jnp.int32)
+                .at[slot]
+                .set(jnp.arange(r, dtype=jnp.int32), mode="drop")
+            )
+            # Unfilled slots alias lane 0: zero their throughput so they
+            # replay to exactly nothing (value and gradient).
+            valid = jnp.arange(r_b, dtype=jnp.int32) < n_b - lo
+            thr0 = jnp.where(
+                valid[:, None], jnp.ones((r_b, 3), jnp.float32), 0.0
+            )
+            pix_b = jnp.take(pixel_ids, idx, axis=0)
+            smp_b = jnp.take(sample_ids, idx, axis=0)
+            # Regenerate primary rays in-bucket (bit-identical: pure pcg4d
+            # streams keyed by the gathered ids); camera gradients flow
+            # through this generate_rays exactly as through the head's.
+            o_b, d_b, _ = generate_rays(cp, width, height, pix_b, smp_b, seed)
+            rad_b = trace_replay(
+                sd, o_b, d_b, pix_b, smp_b, seed, dj,
+                jnp.take(rec[:dj], idx, axis=1),
+                thr_in=thr0, accum_from=d0,
+            )
+            rad = rad.at[idx].add(
+                jnp.where(valid[:, None], rad_b, 0.0), mode="drop"
+            )
+        dropped = n_b - passes * r_b
+        rad = jnp.where(dropped > 0, jnp.float32(jnp.nan), rad)
+    return rad
+
+
 @functools.partial(
     jax.jit, static_argnames=("width", "height", "chunk_spp", "max_depth")
 )
@@ -702,6 +853,7 @@ def render_rays_replay(
     use_pallas: bool = False,
     record_mode: str = "auto",
     rec=None,
+    split: bool | None = None,
 ):
     """Primary rays + record + differentiable replay -> radiance (R, 3).
 
@@ -721,6 +873,13 @@ def render_rays_replay(
     scalars and the camera, NOT on albedo/emission/texel values, so
     radiometric-parameter optimization can re-record every K steps and run
     replay-only gradient steps in between.
+
+    ``split``: override the deep-budget lane-narrowing heuristic. None
+    (default) narrows past ``GRAD_SPLIT_MIN_DEPTH``; ``False`` forces the
+    unsplit differentiable replay — the escape hatch for enclosed /
+    high-survivor scenes where the narrowed tail's fixed capacity would
+    trip its NaN overflow guard (ADVICE r3); ``True`` forces narrowing.
+    The ``CRUCIBLE_GRAD_SPLIT`` env var (0/1) overrides a ``None`` default.
     """
     if record_mode == "auto":
         record_mode = (
@@ -766,12 +925,29 @@ def render_rays_replay(
     # split fwd 1.15 s vs unsplit 0.33 s — TPU gathers ~7.5 ns/elem).
     # Deep budgets (the 500-spp depth-50 north-star config) flip the
     # trade: recursive narrowing replaces 40+ full-width rows.
-    if max_depth <= GRAD_SPLIT_MIN_DEPTH:
+    if split is None:
+        import os
+
+        env = os.environ.get("CRUCIBLE_GRAD_SPLIT")
+        if env is not None:
+            split = env.lower() not in ("0", "off", "false")
+        else:
+            split = max_depth > GRAD_SPLIT_MIN_DEPTH
+    if not split:
         return trace_replay(
             sd, o, d, pixel_ids, sample_ids, seed, max_depth, rec
         )
-    return replay_split(
-        sd, o, d, pixel_ids, sample_ids, seed, max_depth, rec,
-        split_depth=GRAD_DEEP_SPLIT_DEPTH, long_div=GRAD_DEEP_LONG_DIV,
-        early_exit=False,
+    import os
+
+    if os.environ.get("CRUCIBLE_GRAD_DEEP_IMPL") == "split":
+        # The r3 head/tail carry-handoff split, kept reachable for A/B
+        # measurement (BASELINE.md r4) — the bucketed replay replaced it.
+        return replay_split(
+            sd, o, d, pixel_ids, sample_ids, seed, max_depth, rec,
+            split_depth=GRAD_DEEP_SPLIT_DEPTH, long_div=GRAD_DEEP_LONG_DIV,
+            early_exit=False,
+        )
+    return replay_bucketed(
+        sd, cp, width, height, o, d, pixel_ids, sample_ids, seed,
+        max_depth, rec,
     )

@@ -171,7 +171,13 @@ def build_bvh(
         node_parent.append(parent)
         return idx
 
-    def build(span: np.ndarray, parent: int) -> int:
+    # Explicit-stack pre-order build (like the C++ builders): Python
+    # recursion on a skewed tree can blow the interpreter's C stack and
+    # segfault well below any raised recursionlimit (ADVICE r3). Pushing
+    # the right child first keeps DFS emission order (left == idx + 1).
+    stack: list[tuple[np.ndarray, int]] = [(np.arange(m), -1)]
+    while stack:
+        span, parent = stack.pop()
         idx = emit(parent)
         lo = bb_min[span].min(axis=0)
         hi = bb_max[span].max(axis=0)
@@ -181,7 +187,7 @@ def build_bvh(
             node_first[idx] = len(perm)
             node_count[idx] = len(span)
             perm.extend(span.tolist())
-            return idx
+            continue
         if method == "sah":
             left, right = _sah_split(span, centers, bb_min, bb_max, leaf_size)
         else:
@@ -193,18 +199,8 @@ def build_bvh(
             dvec = np.asarray(order_dir, np.float64)
             if centers[left].mean(0) @ dvec > centers[right].mean(0) @ dvec:
                 left, right = right, left
-        build(left, idx)
-        build(right, idx)
-        return idx
-
-    import sys
-
-    old_limit = sys.getrecursionlimit()
-    sys.setrecursionlimit(max(old_limit, 64 + 4 * m))
-    try:
-        build(np.arange(m), -1)
-    finally:
-        sys.setrecursionlimit(old_limit)
+        stack.append((right, idx))
+        stack.append((left, idx))
 
     k = len(node_min)
     parents = np.asarray(node_parent, np.int32)
@@ -256,13 +252,12 @@ def reorder_front_to_back(b: FlatBVH, order_dir) -> FlatBVH:
     perm_runs = []
     perm_len = 0
 
-    import sys
-
-    old_limit = sys.getrecursionlimit()
-    sys.setrecursionlimit(max(old_limit, 64 + 4 * k))
-
-    def emit(i: int, parent: int) -> None:
-        nonlocal perm_len
+    # Explicit-stack pre-order re-emission (a skewed SAH tree on a large
+    # mesh can exceed the interpreter's C stack under recursion and
+    # segfault — ADVICE r3; this runs on every triangle-mesh Scene.build).
+    stack: list[tuple[int, int]] = [(0, -1)]
+    while stack:
+        i, parent = stack.pop()
         idx = len(out_min)
         out_min.append(b.node_min[i])
         out_max.append(b.node_max[i])
@@ -274,7 +269,7 @@ def reorder_front_to_back(b: FlatBVH, order_dir) -> FlatBVH:
             f = int(b.node_first[i])
             perm_runs.append(b.perm[f : f + c])
             perm_len += c
-            return
+            continue
         out_first.append(0)
         out_count.append(0)
         left = i + 1
@@ -282,13 +277,8 @@ def reorder_front_to_back(b: FlatBVH, order_dir) -> FlatBVH:
         first, second = (
             (left, right) if proj[left] <= proj[right] else (right, left)
         )
-        emit(first, idx)
-        emit(second, idx)
-
-    try:
-        emit(0, -1)
-    finally:
-        sys.setrecursionlimit(old_limit)
+        stack.append((second, idx))
+        stack.append((first, idx))
 
     counts = np.asarray(out_count, np.int32)
     parents = np.asarray(out_parent, np.int32)

@@ -458,6 +458,123 @@ class TestRecordSchedule:
         assert d.mean() < 3e-3 and (d > 1e-3).mean() < 0.03, d.max()
 
 
+class TestBucketedReplay:
+    """Depth-bucketed replay (replay.replay_bucketed, the r4 deep-budget
+    gradient path): lanes are partitioned by recorded path depth into
+    static scan lengths; narrow buckets re-walk head rows from regenerated
+    primary rays (integer-only compaction) and accumulate radiance only
+    past the head — values and gradients must match the unsplit replay."""
+
+    def _shell_scene(self):
+        from crucible_tpu.models.scene import Emissive
+
+        # Fuzzy-metal enclosure -> a long spread of path depths (some lanes
+        # reach max_depth); emissive ball -> HIT rows contribute radiance,
+        # so any double counting by the accum_from mask is caught.
+        sc = Scene.new_image(1.0, 24)
+        sc.scene_cam.look_from((0, 0, 0))
+        sc.scene_cam.look_at((0, 0, -1))
+        sc.scene_cam.set_vfov(70.0)
+        sc.add_element(
+            Sphere((0, 0, 0), 10.0, Metal((0.85, 0.8, 0.75), 0.4)), "shell"
+        )
+        sc.add_element(Sphere((0, 1.5, -4), 1.0, Emissive((0.6, 0.5, 0.4))), "lamp")
+        sc.add_element(
+            Sphere((0, -2.5, -4), 1.2, Lambertian.from_color((0.4, 0.5, 0.6))),
+            "ball",
+        )
+        return sc
+
+    def test_matches_unsplit_value_and_grads(self):
+        import functools
+
+        sc = self._shell_scene()
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        h = sc.scene_cam.image_height
+        depth = 20
+        p = 24 * h
+        pix = jnp.tile(jnp.arange(p, dtype=jnp.uint32), 2)
+        smp = jnp.repeat(jnp.arange(2, dtype=jnp.uint32), p)
+        seed = jnp.uint32(0)
+        o0, d0, _ = generate_rays(cp, 24, h, pix, smp, seed)
+        rec = replay_mod.trace_record(sd, o0, d0, pix, smp, seed, depth)
+        depth_lane = np.asarray(
+            ((np.asarray(rec) & replay_mod.F_ALIVE) > 0).sum(0)
+        )
+        assert (depth_lane > 8).any() and (depth_lane == depth).any()
+
+        # Last bucket full width (this scene's deep survivors exceed any
+        # narrow capacity — that case is the overflow test below); the
+        # middle bucket genuinely narrows.
+        spec = ((4, 1), (8, 2), (0, 1))
+
+        def loss(params, bucketed):
+            sd2, cp2 = G.apply_params(sd, cp, params)
+            o, d, _ = generate_rays(cp2, 24, h, pix, smp, seed)
+            if bucketed:
+                rad = replay_mod.replay_bucketed(
+                    sd2, cp2, 24, h, o, d, pix, smp, seed, depth, rec,
+                    spec=spec,
+                )
+            else:
+                rad = replay_mod.trace_replay(
+                    sd2, o, d, pix, smp, seed, depth, rec
+                )
+            return jnp.mean(rad**2)
+
+        params = G.extract_params(sd, cp)
+        v0, g0 = jax.value_and_grad(functools.partial(loss, bucketed=False))(params)
+        v1, g1 = jax.value_and_grad(functools.partial(loss, bucketed=True))(params)
+        assert float(v0) == pytest.approx(float(v1), rel=1e-7)
+        for k in ("tex_color", "mat_emission", "mat_fuzz", "cam_vfov",
+                  "cam_look_from"):
+            np.testing.assert_allclose(
+                np.asarray(g1[k]), np.asarray(g0[k]), rtol=1e-5, atol=1e-7,
+                err_msg=k,
+            )
+
+    def test_routed_by_render_rays_replay(self, monkeypatch):
+        """render_rays_replay routes deep budgets through the bucketed
+        replay (CRUCIBLE_GRAD_BUCKETS honored) and split=False forces the
+        unsplit reference — the two must agree."""
+        monkeypatch.setenv("CRUCIBLE_GRAD_BUCKETS", "4:1,8:2,0:1")
+        sc = self._shell_scene()
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        h = sc.scene_cam.image_height
+        depth = 20
+        pix = jnp.arange(24 * h, dtype=jnp.uint32)
+        smp = jnp.zeros((24 * h,), jnp.uint32)
+        seed = jnp.uint32(3)
+        a = replay_mod.render_rays_replay(
+            sd, cp, 24, h, pix, smp, seed, depth, split=True
+        )
+        b = replay_mod.render_rays_replay(
+            sd, cp, 24, h, pix, smp, seed, depth, split=False
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+    def test_overflow_poisons_loudly(self):
+        """Survivors beyond a narrow bucket's static capacity must poison
+        the radiance with NaN — loud, never silently truncated."""
+        sc = self._shell_scene()
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        h = sc.scene_cam.image_height
+        depth = 20
+        pix = jnp.tile(jnp.arange(24 * h, dtype=jnp.uint32), 2)
+        smp = jnp.repeat(jnp.arange(2, dtype=jnp.uint32), 24 * h)
+        seed = jnp.uint32(0)
+        o, d, _ = generate_rays(cp, 24, h, pix, smp, seed)
+        rec = replay_mod.trace_record(sd, o, d, pix, smp, seed, depth)
+        rad = replay_mod.replay_bucketed(
+            sd, cp, 24, h, o, d, pix, smp, seed, depth, rec,
+            spec=((4, 1), (8, 2), (0, 4)),
+        )
+        assert bool(jnp.isnan(rad).any())
+
+
 class TestTailOverflowGuard:
     def test_overflow_poisons_loudly(self):
         """When more lanes survive the split head than the static tail

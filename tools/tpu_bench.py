@@ -414,6 +414,97 @@ def frozen(w=1920, h=1080, spp=4, depth=8, steps=5):
     )
 
 
+def gradprof50(w=1920, h=1080, spp=4, depth=50):
+    """Decompose the DEEP-budget (depth-50) gradient chunk on book1 —
+    the r4 target (VERDICT r3 #1). Times, per piece: the d50 record pass,
+    the full-width head-8 fwd+bwd, the r3 carry-handoff split fwd/fwd+bwd,
+    and the depth-bucketed replay fwd/fwd+bwd at candidate bucket specs.
+    Also logs the lane depth distribution (who pays for deep rows)."""
+    from crucible_tpu import grad as G
+    from crucible_tpu.models import demo, replay
+    from crucible_tpu.models.camera import generate_rays
+
+    sc = demo.book1_end_scene(width=400)
+    sd = sc.build()
+    cp = sc.scene_cam.params()
+    rays = w * h * spp
+    pix = jnp.tile(jnp.arange(w * h, dtype=jnp.uint32), spp)
+    smp = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), w * h)
+    seed = jnp.uint32(1)
+
+    def timeit(name, fn, *args, n=1):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        # Forced D2H fetch ends every timed window (tunnel no-op guard).
+        t0 = time.time()
+        for _ in range(n):
+            out = fn(*args)
+        x = jax.tree_util.tree_leaves(out)[0]
+        float(np.asarray(x).ravel()[0])
+        dt = (time.time() - t0) / n
+        log(bench=f"gradprof50_{name}", seconds=round(dt, 3),
+            mrays_per_s=round(rays / dt / 1e6, 2))
+        return out
+
+    rec_f = jax.jit(
+        lambda sd_, cp_: replay.trace_record_mega(
+            sd_, cp_, w, h, pix, smp, seed, depth
+        )
+    )
+    rec = timeit("record_d50", rec_f, sd, cp)
+
+    # Lane depth distribution — sets the bucket capacities honestly.
+    dl = jnp.sum(((rec & replay.F_ALIVE) > 0).astype(jnp.int32), axis=0)
+    hist = {
+        f"gt{k}": int(np.asarray(jnp.sum(dl > k)))
+        for k in (0, 2, 4, 6, 8, 12, 16, 24, 32)
+    }
+    log(bench="gradprof50_depth_dist", lanes=int(pix.shape[0]), **hist)
+
+    o, d, _ = jax.jit(generate_rays, static_argnums=(1, 2))(cp, w, h, pix, smp, seed)
+
+    def head8_loss(sd_, o_, d_, rc):
+        rad = replay.trace_replay(sd_, o_, d_, pix, smp, seed, 8, rc[:8])
+        return jnp.mean(rad**2)
+
+    vg_h = jax.jit(jax.value_and_grad(head8_loss, argnums=0, allow_int=True))
+    timeit("head8_bwd", vg_h, sd, o, d, rec)
+
+    def split_loss(sd_, o_, d_, rc):
+        rad = replay.replay_split(
+            sd_, o_, d_, pix, smp, seed, depth, rc,
+            split_depth=replay.GRAD_DEEP_SPLIT_DEPTH,
+            long_div=replay.GRAD_DEEP_LONG_DIV, early_exit=False,
+        )
+        return jnp.mean(rad**2)
+
+    jsplit = jax.jit(split_loss)
+    timeit("r3split_fwd", jsplit, sd, o, d, rec)
+    vg_s = jax.jit(jax.value_and_grad(split_loss, argnums=0, allow_int=True))
+    timeit("r3split_bwd", vg_s, sd, o, d, rec)
+
+    for tag, spec in (
+        ("b8_8_32", ((8, 1), (16, 8), (0, 32))),
+        ("b4_4_16_64", ((4, 1), (8, 4), (16, 16), (0, 64))),
+        ("b8_16", ((8, 1), (0, 16))),
+    ):
+        def bloss(sd_, cp_, rc, spec=spec):
+            o_, d_, _ = generate_rays(cp_, w, h, pix, smp, seed)
+            rad = replay.replay_bucketed(
+                sd_, cp_, w, h, o_, d_, pix, smp, seed, depth, rc,
+                spec=spec,
+            )
+            return jnp.mean(rad**2)
+
+        jb = jax.jit(bloss)
+        timeit(f"bucket_{tag}_fwd", jb, sd, cp, rec)
+        vg_b = jax.jit(jax.value_and_grad(bloss, argnums=(0, 1), allow_int=True))
+        out = timeit(f"bucket_{tag}_bwd", vg_b, sd, cp, rec)
+        v = float(np.asarray(out[0]))
+        log(bench=f"bucket_{tag}_loss", loss=round(v, 6),
+            finite=bool(np.isfinite(v)))
+
+
 def grad500(w=1920, h=1080, spp=500, depth=50, chunk=4):
     """The STATED north-star fwd+bwd config (BASELINE.json): book1
     1920x1080 @ 500 spp, max_depth 50 — measured as 125 accumulated
@@ -517,4 +608,5 @@ if __name__ == "__main__":
         "grad": grad, "leafsweep": leafsweep, "r2": r2, "r3": r3,
         "earthprof": earthprof, "gradprof": gradprof, "fetchbench": fetchbench,
         "teapotx": teapotx, "movie": movie, "grad500": grad500, "frozen": frozen,
+        "gradprof50": gradprof50,
     }[mode]()
