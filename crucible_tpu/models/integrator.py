@@ -42,6 +42,61 @@ T_MIN = 1.0e-3  # shadow-acne epsilon (src/camera/ray_casting.rs:119)
 BIG = intersect.BIG
 
 
+def exact_tri_vertices(sd: SceneData, pid, t_ray):
+    """Per-candidate exact-motion triangle vertices -> (a, b, c), each (R, 3).
+
+    Gathers the three vertex-major timeline track rows of triangle ``pid``
+    (leaf order for BVH meshes) and evaluates position = scale(t) *
+    translate(t) * origin at each ray's absolute time (the vectorized
+    counterpart of src/objects/triangle.rs:91-97 evaluating per-vertex
+    timelines at ray.time()). O(R * K) — candidates only, never (R, M)."""
+    from crucible_tpu.models import timeline as tl_mod
+
+    m_rows = sd.tri_v0.shape[0]
+    out = []
+    for vi in range(3):
+        rows = pid + vi * m_rows
+        pos = tl_mod.eval_translate_rows(
+            jnp.take(sd.tri_tr_t0, rows, axis=0),
+            jnp.take(sd.tri_tr_t1, rows, axis=0),
+            jnp.take(sd.tri_tr_delta, rows, axis=0),
+            jnp.take(sd.tri_tr_init, rows, axis=0),
+            t_ray,
+        )
+        scl = tl_mod.eval_scale_rows(
+            jnp.take(sd.tri_sc_t0, rows, axis=0),
+            jnp.take(sd.tri_sc_t1, rows, axis=0),
+            jnp.take(sd.tri_sc_from, rows, axis=0),
+            jnp.take(sd.tri_sc_to, rows, axis=0),
+            t_ray,
+        )
+        out.append(scl * pos)
+    return tuple(out)
+
+
+def exact_sphere_winner(sd: SceneData, i_s, t_ray):
+    """Per-winner exact-motion sphere (center, radius) at each ray's time —
+    the replay/record counterpart of the exact branch's full (R, N)
+    evaluation (src/objects/sphere.rs:67-69). O(R * K)."""
+    from crucible_tpu.models import timeline as tl_mod
+
+    c_w = tl_mod.eval_translate_rows(
+        jnp.take(sd.sph_tr_t0, i_s, axis=0),
+        jnp.take(sd.sph_tr_t1, i_s, axis=0),
+        jnp.take(sd.sph_tr_delta, i_s, axis=0),
+        jnp.take(sd.sph_tr_init, i_s, axis=0),
+        t_ray,
+    )
+    r_w = tl_mod.eval_scale_rows(
+        jnp.take(sd.sph_sc_t0, i_s, axis=0),
+        jnp.take(sd.sph_sc_t1, i_s, axis=0),
+        jnp.take(sd.sph_sc_from, i_s, axis=0),
+        jnp.take(sd.sph_sc_to, i_s, axis=0),
+        t_ray,
+    )[..., 0]
+    return c_w, r_w
+
+
 def intersect_scene(sd: SceneData, o, d, use_pallas: bool = False, w=None):
     """Closest hit against all scene primitives.
 
@@ -104,25 +159,51 @@ def intersect_scene(sd: SceneData, o, d, use_pallas: bool = False, w=None):
 
     moving_tris = animated and sd.tri_v0_d is not None and not sd.tri_exact
     tri_rt = None
+    exact_winner_fn = None
     if sd.num_tris > 0 and exact and sd.tri_exact:
         from crucible_tpu.models import timeline as tl_mod
 
-        vall = tl_mod.eval_translate(
-            sd.tri_tr_t0, sd.tri_tr_t1, sd.tri_tr_delta, sd.tri_tr_init, t_ray
-        )  # (R, 3M, 3) vertex-major
-        sall = tl_mod.eval_scale(
-            sd.tri_sc_t0, sd.tri_sc_t1, sd.tri_sc_from, sd.tri_sc_to, t_ray
-        )
-        vall = sall * vall  # reference: scale(t) * translate(t) * origin
-        m_rows = sd.tri_v0.shape[0]
-        tri_rt = (
-            vall[:, 0:m_rows],
-            vall[:, m_rows : 2 * m_rows],
-            vall[:, 2 * m_rows : 3 * m_rows],
-        )
-        t_t, i_t, hit_t = intersect.hit_triangles(
-            o, d, tri_rt[0], tri_rt[1], tri_rt[2], sd.tri_active, T_MIN, jnp.inf
-        )
+        if sd.use_bvh:
+            # Per-candidate vertex timelines evaluated at the ray's time
+            # inside the leaf test — the reference's per-ray traversal-time
+            # evaluation (src/objects/bvhwrapper.rs:102-106) without the
+            # per-ray AABB mutation (node bounds enclose the full
+            # trajectory; models/scene.py unions over keyframe kinks).
+            exact_winner_fn = lambda pid: exact_tri_vertices(sd, pid, t_ray)
+            t_t, i_t, hit_t = bvh_hit_triangles(
+                o,
+                d,
+                sd.tri_v0,
+                sd.tri_v1,
+                sd.tri_v2,
+                sd.bvh_min,
+                sd.bvh_max,
+                sd.bvh_first,
+                sd.bvh_count,
+                sd.bvh_miss,
+                T_MIN,
+                BIG,
+                sd.bvh_leaf_size,
+                vertex_fn=exact_winner_fn,
+            )
+        else:
+            vall = tl_mod.eval_translate(
+                sd.tri_tr_t0, sd.tri_tr_t1, sd.tri_tr_delta, sd.tri_tr_init,
+                t_ray,
+            )  # (R, 3M, 3) vertex-major
+            sall = tl_mod.eval_scale(
+                sd.tri_sc_t0, sd.tri_sc_t1, sd.tri_sc_from, sd.tri_sc_to, t_ray
+            )
+            vall = sall * vall  # reference: scale(t) * translate(t) * origin
+            m_rows = sd.tri_v0.shape[0]
+            tri_rt = (
+                vall[:, 0:m_rows],
+                vall[:, m_rows : 2 * m_rows],
+                vall[:, 2 * m_rows : 3 * m_rows],
+            )
+            t_t, i_t, hit_t = intersect.hit_triangles(
+                o, d, tri_rt[0], tri_rt[1], tri_rt[2], sd.tri_active, T_MIN, jnp.inf
+            )
         is_tri = hit_t & (t_t < t_s)
     elif sd.num_tris > 0:
         motion = (
@@ -180,7 +261,9 @@ def intersect_scene(sd: SceneData, o, d, use_pallas: bool = False, w=None):
     u_sph, v_sph = intersect.sphere_uv(n_sph)
 
     if sd.num_tris > 0:
-        if tri_rt is not None:
+        if exact_winner_fn is not None:
+            a, b, c = exact_winner_fn(i_t)
+        elif tri_rt is not None:
             sel = i_t[:, None, None]
             a = jnp.take_along_axis(tri_rt[0], sel, axis=1)[:, 0]
             b = jnp.take_along_axis(tri_rt[1], sel, axis=1)[:, 0]

@@ -111,13 +111,18 @@ def rec_winner_id(rec):
 
 
 def replay_supported(sd: SceneData) -> bool:
-    """Static predicate. The only unsupported corner is exact per-ray
-    timeline evaluation (mid-shutter keyframes): the replay re-derives hit
-    t from the linear-shutter quadratic/MT, which would deviate from the
-    piecewise trajectory. Moving triangle meshes (per-winner vertex lerp)
-    and arbitrarily nested checkers (full textures.value resolution) are
-    replayable as of r3."""
-    return not sd.motion_exact
+    """Static predicate — True for every scene the framework can build.
+
+    As of r4 exact per-ray-time scenes (mid-shutter keyframes) are
+    replayable too: the replay re-derives winner geometry from the
+    piecewise-linear timeline tracks evaluated at the lane's absolute time
+    (integrator.exact_sphere_winner / exact_tri_vertices), matching the
+    record pass's staged bounce_step. Moving triangle meshes (per-winner
+    vertex lerp) and arbitrarily nested checkers (full textures.value
+    resolution) have been replayable since r3. The predicate is kept as
+    the single routing point should a future scene feature outrun the
+    replay."""
+    return True
 
 
 def _pack(**bits):
@@ -156,6 +161,11 @@ def trace_record(
         w = crng.uniform1(pixel_ids, sample_ids, crng.STREAM_TIME, seed)
     else:
         w = None
+    t_ray = (
+        sd.motion_t0 + w * (sd.motion_t1 - sd.motion_t0)
+        if sd.motion_exact
+        else None
+    )
 
     def body(state):
         bounce, o_c, d_c, alive, recbuf = state
@@ -171,11 +181,14 @@ def trace_record(
         # the same per-winner math the replay will use, so the bit and the
         # replayed t are self-consistent (src/objects/sphere.rs:84-94: near
         # root preferred, far root if the near one is outside the interval).
-        c_w = jnp.take(sd.sph_center, i_s, axis=0)
-        r_w = jnp.take(sd.sph_radius, i_s, axis=0)
-        if sd.animated:
-            c_w = c_w + w[:, None] * jnp.take(sd.sph_center_d, i_s, axis=0)
-            r_w = r_w + w * jnp.take(sd.sph_radius_d, i_s, axis=0)
+        if sd.motion_exact:
+            c_w, r_w = integrator.exact_sphere_winner(sd, i_s, t_ray)
+        else:
+            c_w = jnp.take(sd.sph_center, i_s, axis=0)
+            r_w = jnp.take(sd.sph_radius, i_s, axis=0)
+            if sd.animated:
+                c_w = c_w + w[:, None] * jnp.take(sd.sph_center_d, i_s, axis=0)
+                r_w = r_w + w * jnp.take(sd.sph_radius_d, i_s, axis=0)
         a_q = jnp.sum(d_c * d_c, axis=-1)
         oc = c_w - o_c
         h_q = jnp.sum(d_c * oc, axis=-1)
@@ -320,6 +333,16 @@ def trace_replay(
         w = crng.uniform1(pixel_ids, sample_ids, crng.STREAM_TIME, seed)
     else:
         w = None
+    # Exact per-ray-time scenes (mid-shutter keyframes): winner geometry is
+    # re-derived from the piecewise-linear timeline tracks at the lane's
+    # absolute time — same math as the record pass's bounce_step, so the
+    # recorded decisions and the replayed t stay self-consistent
+    # (src/timeline/mod.rs:233-263 evaluated per ray).
+    t_ray = (
+        sd.motion_t0 + w * (sd.motion_t1 - sd.motion_t0)
+        if sd.motion_exact
+        else None
+    )
 
     n_imgs = len(sd.tex.images)
 
@@ -348,7 +371,11 @@ def trace_replay(
         srow = take_rows_mm(table, jnp.where(is_tri, 0, idx))  # (R, 32)
         c_w = srow[:, 0:3]
         r_w = srow[:, 3]
-        if sd.animated:
+        if sd.motion_exact:
+            c_w, r_w = integrator.exact_sphere_winner(
+                sd, jnp.where(is_tri, 0, idx), t_ray
+            )
+        elif sd.animated:
             c_w = c_w + w[:, None] * srow[:, 24:27]
             r_w = r_w + w * srow[:, 27]
 
@@ -366,18 +393,24 @@ def trace_replay(
 
         if sd.num_tris > 0:
             ti = jnp.where(is_tri, idx, 0)
-            v0 = jnp.take(sd.tri_v0, ti, axis=0)
-            v1 = jnp.take(sd.tri_v1, ti, axis=0)
-            v2 = jnp.take(sd.tri_v2, ti, axis=0)
-            if sd.animated and sd.tri_v0_d is not None:
-                # Per-winner vertex motion lerp at the lane's shutter
-                # fraction — same pattern as the sphere motion columns;
-                # mirrors the per-vertex timelines of
-                # src/objects/triangle.rs:15-17 under the linear-shutter
-                # model. Motion gradients flow through the replayed MT.
-                v0 = v0 + w[:, None] * jnp.take(sd.tri_v0_d, ti, axis=0)
-                v1 = v1 + w[:, None] * jnp.take(sd.tri_v1_d, ti, axis=0)
-                v2 = v2 + w[:, None] * jnp.take(sd.tri_v2_d, ti, axis=0)
+            if sd.tri_exact:
+                # Exact per-ray-time vertices from the winner's timeline
+                # tracks (leaf order for BVH meshes) — the replay-side
+                # mirror of the traversal's vertex_fn leaf evaluation.
+                v0, v1, v2 = integrator.exact_tri_vertices(sd, ti, t_ray)
+            else:
+                v0 = jnp.take(sd.tri_v0, ti, axis=0)
+                v1 = jnp.take(sd.tri_v1, ti, axis=0)
+                v2 = jnp.take(sd.tri_v2, ti, axis=0)
+                if sd.animated and sd.tri_v0_d is not None:
+                    # Per-winner vertex motion lerp at the lane's shutter
+                    # fraction — same pattern as the sphere motion columns;
+                    # mirrors the per-vertex timelines of
+                    # src/objects/triangle.rs:15-17 under the linear-shutter
+                    # model. Motion gradients flow through the replayed MT.
+                    v0 = v0 + w[:, None] * jnp.take(sd.tri_v0_d, ti, axis=0)
+                    v1 = v1 + w[:, None] * jnp.take(sd.tri_v1_d, ti, axis=0)
+                    v2 = v2 + w[:, None] * jnp.take(sd.tri_v2_d, ti, axis=0)
             # Per-winner Möller–Trumbore t (src/objects/triangle.rs:84-140).
             e1 = v1 - v0
             e2 = v2 - v0
@@ -648,9 +681,12 @@ def replay_split(
 # are (depth_limit, width_divisor); the first bucket is the full-width head,
 # a limit of 0 stretches to max_depth. Divisor capacities carry the same
 # NaN-overflow-guard contract as replay_split (loud, never silently biased):
-# r/8 = 12.5% vs the ~2.2% of book1 lanes alive past row 8 (5.7x margin),
-# r/32 = 3.1% vs ~0.3% past row 16 (~10x).
-GRAD_BUCKET_SPEC = ((8, 1), (16, 8), (0, 32))
+# r/16 = 6.25% vs the 2.14% of book1 lanes alive past row 8 (2.9x margin,
+# gradprof50_depth_dist r4). TWO buckets measured fastest on v5e at the
+# 1080p x 4spp d50 config — compaction overhead beats lane-row savings:
+# fwd+bwd 1.337 s vs 1.458 (8:1,16:8,0:32) and 1.378 (4-bucket); the r3
+# carry-handoff split took 2.099 s on the same records.
+GRAD_BUCKET_SPEC = ((8, 1), (0, 16))
 
 
 def _bucket_spec(max_depth: int, spec=None):

@@ -274,8 +274,9 @@ class SceneData:
     animated: bool = struct.field(pytree_node=False, default=False)
     # Exact per-ray-time evaluation engaged (see track fields above).
     motion_exact: bool = struct.field(pytree_node=False, default=False)
-    # Exact mode covers triangles only on the brute-force path; BVH-mesh
-    # scenes with mid-shutter keys keep the linear model (warned at build).
+    # Triangle tracks present (mesh keyframe mid-shutter). Covers both the
+    # brute-force path (full (R, M) evaluation) and BVH meshes (per-candidate
+    # evaluation in the leaf test; track rows are in LEAF order).
     tri_exact: bool = struct.field(pytree_node=False, default=False)
 
 
@@ -746,6 +747,37 @@ class Scene:
                 # stale-inner-node problem, SURVEY.md §2.2).
                 lo = np.minimum(va.min(axis=1), vb.min(axis=1))
                 hi = np.maximum(va.max(axis=1), vb.max(axis=1))
+                if tri_mid:
+                    # Mid-shutter keyframes: the piecewise-linear trajectory
+                    # kinks INSIDE the window, so endpoint snapshots do not
+                    # enclose it. Union bounds over every interior segment
+                    # boundary — piecewise-linear extrema live at the kinks,
+                    # so this encloses the exact trajectory the per-ray leaf
+                    # test (ops/traverse.py vertex_fn) will evaluate.
+                    bts = set()
+                    for t in vis_tris:
+                        if t.timelines is not None:
+                            for tl in t.timelines:
+                                b = tl.boundary_times()
+                                bts.update(
+                                    float(x)
+                                    for x in b[(b > t_open) & (b < t_close)]
+                                )
+                    for bt in sorted(bts):
+                        vt = []
+                        for t in vis_tris:
+                            if t.timelines is not None:
+                                vt.append(
+                                    [
+                                        tl.scale_at(bt) * tl.position_at(bt)
+                                        for tl in t.timelines
+                                    ]
+                                )
+                            else:
+                                vt.append([t.v0, t.v1, t.v2])
+                        vt = np.asarray(vt, np.float32)  # (m, 3, 3)
+                        lo = np.minimum(lo, vt.min(axis=1))
+                        hi = np.maximum(hi, vt.max(axis=1))
                 bvh = build_bvh(lo, hi, leaf_size=leaf_size, method=bvh_method)
                 # Near-first child order along the camera view axis: the
                 # skip-link DFS then visits leaves roughly front-to-back
@@ -803,18 +835,13 @@ class Scene:
             )
 
         # --- exact per-ray-time tracks (mid-shutter keyframes) --------------
-        tri_exact = tri_mid and not use_bvh
+        # BVH meshes included (r4): leaf tests evaluate per-candidate vertex
+        # timelines at the ray's time (ops/traverse.py vertex_fn), with node
+        # bounds unioned over keyframe breakpoints above — the TPU analogue
+        # of the reference evaluating timelines per ray through traversal
+        # (src/objects/bvhwrapper.rs:102-106).
+        tri_exact = tri_mid
         motion_exact = sphere_exact or tri_exact
-        if tri_mid and use_bvh:
-            import sys
-
-            print(
-                "crucible_tpu: WARNING: mesh keyframe inside the shutter "
-                "window; BVH meshes keep the linear-shutter motion model "
-                "(exact per-ray evaluation covers spheres and small "
-                "brute-force meshes only)",
-                file=sys.stderr,
-            )
         track_fields = {}
         if motion_exact:
             import sys
@@ -824,7 +851,8 @@ class Scene:
             print(
                 "crucible_tpu: keyframe inside the shutter window -> exact "
                 "per-ray timeline evaluation engaged (staged integrator "
-                "path; megakernel/fused/replay schedules do not apply)",
+                "path; megakernel/fused schedules do not apply — replay "
+                "gradients re-derive the exact tracks per winner)",
                 file=sys.stderr,
             )
 
@@ -864,13 +892,18 @@ class Scene:
                 sph_sc_to=jnp.asarray(bt),
             )
             if tri_exact and m:
-                m_rows = v0.shape[0]  # padded brute-force count
+                m_rows = v0.shape[0]  # padded (brute-force) or leaf-order count
+                # Track rows must align with the lowered vertex arrays: BVH
+                # meshes are permuted into leaf order.
+                src_tris = (
+                    [vis_tris[j] for j in perm] if use_bvh else vis_tris
+                )
                 t_tr, t_sc, t_init = [], [], []
                 # Vertex-major: rows [vi*m_rows + k] = vertex vi of tri k.
                 for vi in range(3):
                     for k in range(m_rows):
-                        if k < m and vis_tris[k].timelines is not None:
-                            tl = vis_tris[k].timelines[vi]
+                        if k < m and src_tris[k].timelines is not None:
+                            tl = src_tris[k].timelines[vi]
                         else:
                             base = (v0, v1, v2)[vi][k]
                             tl = tl_mod.TransformTimeline(

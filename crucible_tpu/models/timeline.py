@@ -299,6 +299,30 @@ def eval_scale(t0, t1, sc_from, sc_to, t):
     return f + (g - f) * ramp[..., None]
 
 
+def eval_translate_rows(t0, t1, delta, init_pos, t):
+    """Row-aligned translate evaluation: per-ray GATHERED tracks.
+
+    Args: t0, t1 (R, K); delta (R, K, 3); init_pos (R, 3); t (R,) — row i's
+    track evaluated at row i's time (unlike :func:`eval_translate`, which
+    broadcasts all times against all tracks). The per-winner form used by
+    the exact-motion replay and the BVH leaf test."""
+    r = _ramp(t[:, None], t0, t1)  # (R, K)
+    return init_pos + jnp.sum(r[..., None] * delta, axis=-2)
+
+
+def eval_scale_rows(t0, t1, sc_from, sc_to, t):
+    """Row-aligned scale evaluation (most-recent segment per row) -> (R, 3).
+
+    Same alignment contract as :func:`eval_translate_rows`."""
+    mask = t[:, None] >= t0  # (R, K)
+    k_star = jnp.maximum(jnp.sum(mask, axis=-1, dtype=jnp.int32) - 1, 0)
+    f = jnp.take_along_axis(sc_from, k_star[:, None, None], axis=1)[:, 0]
+    g = jnp.take_along_axis(sc_to, k_star[:, None, None], axis=1)[:, 0]
+    s0 = jnp.take_along_axis(t0, k_star[:, None], axis=1)[:, 0]
+    s1 = jnp.take_along_axis(t1, k_star[:, None], axis=1)[:, 0]
+    return f + (g - f) * _ramp(t, s0, s1)[:, None]
+
+
 def pad_tracks(tracks, max_k: Optional[int] = None):
     """Stack per-object lowered translate tracks into padded arrays.
 

@@ -65,6 +65,7 @@ def bvh_hit_triangles(
     v1d=None,
     v2d=None,
     w=None,
+    vertex_fn=None,
 ):
     """Closest triangle hit through the flat BVH.
 
@@ -78,6 +79,13 @@ def bvh_hit_triangles(
       leaf_size: static max primitives per leaf (unrolled).
       v0d/v1d/v2d, w: optional linear shutter motion — vertex(w) =
         v + w * vd with per-ray w (see hit_spheres_moving).
+      vertex_fn: optional ``pid (R,) -> (a, b, c)`` candidate-vertex
+        evaluator overriding the v0/v1/v2 gathers — the exact per-ray-time
+        hook (piecewise-linear timeline tracks evaluated at each ray's
+        absolute time, mirroring the reference's per-ray ``update_bb`` +
+        leaf-timeline evaluation, src/objects/bvhwrapper.rs:102-106).
+        Node boxes must then enclose the FULL trajectory over the shutter
+        window (models/scene.py unions bounds over keyframe breakpoints).
 
     Returns:
       t: (R,) distance (BIG where miss)
@@ -116,14 +124,17 @@ def bvh_hit_triangles(
             for li in range(leaf_size):
                 pid = jnp.minimum(first + li, num_prims - 1)
                 test = box_hit & is_leaf & (li < count)
-                a = jnp.take(v0, pid, axis=0)
-                b = jnp.take(v1, pid, axis=0)
-                c = jnp.take(v2, pid, axis=0)
-                if v0d is not None:
-                    wcol = w[:, None]
-                    a = a + wcol * jnp.take(v0d, pid, axis=0)
-                    b = b + wcol * jnp.take(v1d, pid, axis=0)
-                    c = c + wcol * jnp.take(v2d, pid, axis=0)
+                if vertex_fn is not None:
+                    a, b, c = vertex_fn(pid)
+                else:
+                    a = jnp.take(v0, pid, axis=0)
+                    b = jnp.take(v1, pid, axis=0)
+                    c = jnp.take(v2, pid, axis=0)
+                    if v0d is not None:
+                        wcol = w[:, None]
+                        a = a + wcol * jnp.take(v0d, pid, axis=0)
+                        b = b + wcol * jnp.take(v1d, pid, axis=0)
+                        c = c + wcol * jnp.take(v2d, pid, axis=0)
                 t_hit, valid = _mt_single(o, d, a, b, c, t_min, t_b)
                 upd = test & valid
                 t_b = jnp.where(upd, t_hit, t_b)

@@ -458,6 +458,106 @@ class TestRecordSchedule:
         assert d.mean() < 3e-3 and (d > 1e-3).mean() < 0.03, d.max()
 
 
+class TestReplayExactMotion:
+    """Exact per-ray-time scenes (mid-shutter keyframes) are replayable as
+    of r4: the replay re-derives winner geometry from the piecewise-linear
+    timeline tracks at the lane's absolute time (VERDICT r3 #2). Anchor:
+    src/timeline/mod.rs:233-263 evaluated per ray."""
+
+    def _scene(self):
+        from crucible_tpu.models.scene import Emissive
+        from crucible_tpu.models.timeline import LOCAL, NERP
+
+        sc = Scene(aspect_ratio=1.0, image_width=12)
+        sc.add_element(
+            Sphere((0, -100.5, -3), 100.0, Lambertian.from_color((0.5, 0.6, 0.4))),
+            "ground",
+        )
+        sc.add_element(Sphere((0, 0, -3), 0.5, Metal((0.8, 0.7, 0.6), 0.2)), "ball")
+        sc.add_element(Sphere((1.2, 0.2, -2.5), 0.3, Emissive((0.9, 0.4, 0.2))), "lamp")
+        sc.translate_x(0.6, 0.01, NERP, LOCAL, "ball")  # mid-shutter key
+        return sc
+
+    def test_forward_matches_integrator(self):
+        sc = self._scene()
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        assert sd.motion_exact and replay_mod.replay_supported(sd)
+        w = h = 12
+        spp, depth = 2, 6
+        p = w * h
+        pix = jnp.tile(jnp.arange(p, dtype=jnp.uint32), spp)
+        smp = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), p)
+        seed = jnp.uint32(7)
+        ref = np.asarray(integrator.render_rays(sd, cp, w, h, pix, smp, seed, depth))
+        rep = np.asarray(
+            replay_mod.render_rays_replay(sd, cp, w, h, pix, smp, seed, depth)
+        )
+        np.testing.assert_allclose(rep, ref, rtol=1e-5, atol=1e-6)
+
+    def test_grads_match_direct_ad(self):
+        sc = self._scene()
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        w = h = 12
+        spp, depth = 2, 6
+        pix = jnp.arange(w * h, dtype=jnp.uint32)
+        target = jnp.zeros((w * h, 3), jnp.float32)
+        params = G.extract_params(sd, cp)
+        kw = dict(width=w, height=h, spp=spp, max_depth=depth)
+        l1, g1 = G.loss_and_grad(
+            params, sd, cp, target, pix, jnp.uint32(7), method="replay", **kw
+        )
+        l2, g2 = G.loss_and_grad(
+            params, sd, cp, target, pix, jnp.uint32(7), method="ad", **kw
+        )
+        assert float(l1) == pytest.approx(float(l2), rel=1e-6)
+        for k in ("tex_color", "mat_emission", "mat_fuzz", "cam_vfov"):
+            np.testing.assert_allclose(
+                np.asarray(g1[k]), np.asarray(g2[k]), rtol=1e-4, atol=1e-7,
+                err_msg=k,
+            )
+
+    def test_exact_mesh_replay(self):
+        """Replay over a mid-shutter BVH mesh (per-winner exact vertex
+        tracks, leaf order) matches the staged integrator."""
+        from crucible_tpu.models.scene import Emissive, Triangle
+        from crucible_tpu.models.timeline import LOCAL, NERP
+
+        sc = Scene(aspect_ratio=1.0, image_width=8)
+        n, ext, z = 8, 300.0, 5.0
+        emission = (0.8, 0.1, 0.6)
+        for i in range(n):
+            for j in range(n):
+                x0, x1 = -ext + 2 * ext * i / n, -ext + 2 * ext * (i + 1) / n
+                y0, y1 = -ext + 2 * ext * j / n, -ext + 2 * ext * (j + 1) / n
+                sc.add_element(
+                    Triangle((x0, y0, z), (x1, y0, z), (x1, y1, z), Emissive(emission)),
+                    f"t{i}_{j}a",
+                )
+                sc.add_element(
+                    Triangle((x0, y0, z), (x1, y1, z), (x0, y1, z), Emissive(emission)),
+                    f"t{i}_{j}b",
+                )
+        for i in range(n):
+            for j in range(n):
+                for s in "ab":
+                    sc.translate_point((0, 0, -10.0), 0.008, NERP, LOCAL, f"t{i}_{j}{s}")
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        assert sd.use_bvh and sd.tri_exact and replay_mod.replay_supported(sd)
+        w, h, spp, depth = 8, 8, 4, 4
+        p = w * h
+        pix = jnp.tile(jnp.arange(p, dtype=jnp.uint32), spp)
+        smp = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), p)
+        seed = jnp.uint32(2)
+        ref = np.asarray(integrator.render_rays(sd, cp, w, h, pix, smp, seed, depth))
+        rep = np.asarray(
+            replay_mod.render_rays_replay(sd, cp, w, h, pix, smp, seed, depth)
+        )
+        np.testing.assert_allclose(rep, ref, rtol=1e-5, atol=1e-6)
+
+
 class TestBucketedReplay:
     """Depth-bucketed replay (replay.replay_bucketed, the r4 deep-budget
     gradient path): lanes are partitioned by recorded path depth into

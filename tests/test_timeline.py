@@ -205,7 +205,8 @@ class TestExactMidShutter:
 
         assert not integrator.fused_supported(sd)
         assert not integrator.megakernel_supported(sd, sc.scene_cam.params())
-        assert not replay_mod.replay_supported(sd)
+        # Replay COVERS exact scenes as of r4 (per-winner track evaluation).
+        assert replay_mod.replay_supported(sd)
 
         # Key at t=0.5 (outside the window): linear model stays.
         sc2 = self._base_scene()
@@ -338,6 +339,118 @@ class TestExactMidShutter:
         sky = np.asarray(skybox.radiance(sd.sky_kind, sd.sky_image, d))
         expected = np.where((t_ray >= t_mid)[:, None], np.asarray(emission, np.float32), sky)
         np.testing.assert_allclose(rad, expected, atol=1e-5)
+
+    def _grid_wall(self, sc, emission, n=10, ext=300.0, z=5.0, y_off=0.0):
+        """2*n*n emissive triangles forming a wall at z (> BVH_MIN_TRIS so
+        the scene lowers through the BVH). Returns the aliases."""
+        from crucible_tpu.models.scene import Emissive, Triangle
+
+        aliases = []
+        for i in range(n):
+            for j in range(n):
+                x0, x1 = -ext + 2 * ext * i / n, -ext + 2 * ext * (i + 1) / n
+                y0 = y_off - ext + 2 * ext * j / n
+                y1 = y_off - ext + 2 * ext * (j + 1) / n
+                for tag, tri in (
+                    ("a", ((x0, y0, z), (x1, y0, z), (x1, y1, z))),
+                    ("b", ((x0, y0, z), (x1, y1, z), (x0, y1, z))),
+                ):
+                    al = f"t{i}_{j}{tag}"
+                    sc.add_element(Triangle(*tri, Emissive(emission)), al)
+                    aliases.append(al)
+        return aliases
+
+    def test_bvh_mesh_exact_teleport(self):
+        """Mesh ABOVE the BVH threshold with a NERP key mid-shutter: the
+        leaf test evaluates per-candidate vertex timelines at the ray's
+        time (ops/traverse.py vertex_fn) — the r3 linear-shutter fallback
+        (and its build warning) is gone. Reference behavior anchor:
+        src/objects/bvhwrapper.rs:102-106 (per-ray traversal-time
+        evaluation)."""
+        import jax.numpy as jnp
+
+        from crucible_tpu.models import integrator, skybox
+        from crucible_tpu.utils import rng as crng
+
+        w = h = 8
+        spp = 4
+        t_mid = 0.008
+        emission = (0.8, 0.1, 0.6)
+        sc = self._base_scene(width=w)
+        aliases = self._grid_wall(sc, emission)
+        for al in aliases:
+            sc.translate_point((0.0, 0.0, -10.0), t_mid, NERP, LOCAL, al)
+        sd = sc.build()
+        assert sd.use_bvh and sd.motion_exact and sd.tri_exact
+
+        seed = jnp.uint32(2)
+        p = w * h
+        pix = jnp.tile(jnp.arange(p, dtype=jnp.uint32), spp)
+        smp = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), p)
+        cp = sc.scene_cam.params()
+        rad = np.asarray(integrator.render_rays(sd, cp, w, h, pix, smp, seed, 4))
+        t_open, t_close = sc.scene_cam.shutter_window()
+        w_frac = np.asarray(crng.uniform1(pix, smp, crng.STREAM_TIME, seed))
+        t_ray = t_open + w_frac * (t_close - t_open)
+        from crucible_tpu.models.camera import generate_rays
+
+        _, d, _ = generate_rays(cp, w, h, pix, smp, seed)
+        sky = np.asarray(skybox.radiance(sd.sky_kind, sd.sky_image, d))
+        expected = np.where(
+            (t_ray >= t_mid)[:, None], np.asarray(emission, np.float32), sky
+        )
+        np.testing.assert_allclose(rad, expected, atol=1e-5)
+        assert 0.1 < (t_ray >= t_mid).mean() < 0.9
+
+    def test_bvh_exact_matches_bruteforce(self, monkeypatch):
+        """BVH-exact leaf evaluation equals the (r3-tested) brute-force
+        exact path on the SAME mesh with a LERP kink mid-shutter — the
+        kink makes the trajectory's extremum interior to the window, so
+        this also proves the node bounds enclose the kink (scene.build
+        unions bounds over keyframe breakpoints)."""
+        import jax.numpy as jnp
+
+        from crucible_tpu.models import integrator
+        from crucible_tpu.models import scene as scene_mod
+
+        w = h = 8
+        spp = 4
+        t_kink = 0.01
+        t_end = 0.02
+        emission = (0.3, 0.7, 0.5)
+
+        def build(force_brute):
+            sc = self._base_scene(width=w)
+            # Wall parked BELOW the frustum (top edge y=-400 at z=-5);
+            # it rises 400 by the kink (top edge y=0, visible to the lower
+            # half of the 90-degree frustum) and sinks back by t_end — so
+            # the wall is visible ONLY near the kink, and endpoint-union
+            # node bounds would cull it entirely.
+            aliases = self._grid_wall(sc, emission, z=-5.0, y_off=-700.0)
+            for al in aliases:
+                sc.translate_y(400.0, t_kink, LERP, LOCAL, al)
+                sc.translate_y(-400.0, t_end, LERP, LOCAL, al)
+            if force_brute:
+                monkeypatch.setattr(scene_mod, "BVH_MIN_TRIS", 10**9)
+            else:
+                monkeypatch.setattr(scene_mod, "BVH_MIN_TRIS", 64)
+            sd = sc.build()
+            return sd, sc.scene_cam.params()
+
+        sd_b, cp = build(False)
+        sd_f, _ = build(True)
+        assert sd_b.use_bvh and sd_b.tri_exact
+        assert not sd_f.use_bvh and sd_f.tri_exact
+
+        seed = jnp.uint32(6)
+        p = w * h
+        pix = jnp.tile(jnp.arange(p, dtype=jnp.uint32), spp)
+        smp = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), p)
+        a = np.asarray(integrator.render_rays(sd_b, cp, w, h, pix, smp, seed, 4))
+        b = np.asarray(integrator.render_rays(sd_f, cp, w, h, pix, smp, seed, 4))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+        # The wall must actually be visible for some rays (the apex pass).
+        assert (np.abs(a - np.asarray(emission, np.float32)) < 1e-4).any()
 
     def test_camera_exact(self):
         """Camera NERP teleport mid-shutter: ray origins step per ray."""

@@ -440,7 +440,10 @@ def gradprof50(w=1920, h=1080, spp=4, depth=50):
         for _ in range(n):
             out = fn(*args)
         x = jax.tree_util.tree_leaves(out)[0]
-        float(np.asarray(x).ravel()[0])
+        # Slice ON DEVICE before fetching — np.asarray(big_array) would
+        # drag the whole buffer through the tunnel into the timed window
+        # (1.66 GB for the d50 records = ~88 s of pure transfer).
+        float(np.asarray(x[(0,) * x.ndim] if x.ndim else x))
         dt = (time.time() - t0) / n
         log(bench=f"gradprof50_{name}", seconds=round(dt, 3),
             mrays_per_s=round(rays / dt / 1e6, 2))
