@@ -801,6 +801,145 @@ def replay_bucketed(
     return rad
 
 
+# Narrow re-record capacity for the two-level record: R/8 = 12.5% of lanes
+# vs the 2.14% that survive the 8-row head on book1 (5.8x margin; overflow
+# poisons loudly like every other static capacity here).
+RECORD_DEEP_DIV = 8
+
+
+def record_two_level(
+    sd, cp, width, height, pixel_ids, sample_ids, seed, max_depth,
+    head: int, div: int = RECORD_DEEP_DIV, interpret: bool = False,
+    record_mode: str = "auto",
+):
+    """Two-level decision record: full width to ``head`` rows, then a
+    NARROW re-record of only the surviving lanes to ``max_depth``.
+
+    Why: the megakernel's per-TILE exit does not help deep scenes whose
+    rare deep lanes (glass TIR paths) are scattered across tiles — at the
+    book1 north-star config 0.45% of lanes run past row 32, ~2 per
+    512-lane tile, so a full-width depth-50 record pays ~50 rows in nearly
+    every tile. Re-recording the 2.14% survivors at r/div width re-traces
+    their paths from bounce 0 (decisions are a pure function of
+    (pixel, sample, seed) — bit-identical), so the deep rows cost 1/div of
+    full width.
+
+    Returns (rec_h (head, R), rec_n (max_depth, r_n), idx_n (r_n,) lane
+    ids, valid_n (r_n,) slot-filled mask, n_deep scalar). Overflow past
+    r_n is detected by the caller via n_deep (NaN-poisoned downstream).
+    """
+    import os
+
+    r = pixel_ids.shape[0]
+    env_div = os.environ.get("CRUCIBLE_RECORD_DEEP_DIV")
+    if env_div is not None:
+        div = int(env_div)
+    if record_mode == "auto":
+        record_mode = (
+            "mega"
+            if (
+                integrator.megakernel_record_supported(sd, cp)
+                and backend.on_accelerator()
+            )
+            else "staged"
+        )
+
+    def rec_pass(pix, smp, depth):
+        if record_mode == "mega":
+            return trace_record_mega(
+                sd, cp, width, height, pix, smp, seed, depth,
+                interpret=interpret,
+            )
+        o, d, _ = generate_rays(cp, width, height, pix, smp, seed)
+        return trace_record(sd, o, d, pix, smp, seed, depth)
+
+    rec_h = rec_pass(pixel_ids, sample_ids, head)
+    cont = (rec_h[head - 1] & F_SCAT) > 0  # continued past the head rows
+    n_deep = jnp.sum(cont.astype(jnp.int32))
+    rank = jnp.cumsum(cont.astype(jnp.int32)) - 1
+    r_n = int(min(r, max(512, r // div)))
+    slot = jnp.where(cont & (rank < r_n), rank, r_n)
+    idx_n = (
+        jnp.zeros((r_n,), jnp.int32)
+        .at[slot]
+        .set(jnp.arange(r, dtype=jnp.int32), mode="drop")
+    )
+    valid_n = jnp.arange(r_n, dtype=jnp.int32) < n_deep
+    pix_n = jnp.where(valid_n, jnp.take(pixel_ids, idx_n, axis=0), 0).astype(
+        pixel_ids.dtype
+    )
+    # Unfilled slots get the padding sample sentinel (2^30): the mega
+    # record never issues them (flags stay 0); staged records may trace
+    # them but their bucket slots are masked by valid_n downstream.
+    smp_n = jnp.where(
+        valid_n,
+        jnp.take(sample_ids, idx_n, axis=0).astype(jnp.int32),
+        jnp.int32(2**30),
+    ).astype(sample_ids.dtype)
+    rec_n = rec_pass(pix_n, smp_n, max_depth)
+    return rec_h, rec_n, idx_n, valid_n, n_deep
+
+
+def replay_bucketed_2l(
+    sd, cp, width, height, o, d, pixel_ids, sample_ids, seed, max_depth,
+    rec_h, rec_n, idx_n, valid_n, n_deep, *, spec=None, passes: int = 1,
+):
+    """Depth-bucketed replay over a TWO-LEVEL record (record_two_level).
+
+    Identical estimator to :func:`replay_bucketed`; the difference is
+    where the deep rows live: bucket 0 replays the full-width head record,
+    and every deeper bucket compacts NARROW-record slots (r/div wide), so
+    no full-width cumsum/scatter/gather runs beyond the one inside
+    record_two_level. Narrow-capacity overflow poisons with NaN.
+    """
+    lims, divs = _bucket_spec(max_depth, spec)
+    head = rec_h.shape[0]
+    assert lims[0] == head, (lims, head)
+    r = o.shape[0]
+    rad = trace_replay(sd, o, d, pixel_ids, sample_ids, seed, head, rec_h)
+    if len(lims) == 1:
+        return rad
+    r_n = rec_n.shape[1]
+    depth_n = jnp.sum(((rec_n & F_ALIVE) > 0).astype(jnp.int32), axis=0)
+    for j in range(1, len(lims)):
+        dj, dv = lims[j], divs[j]
+        lo_lim = lims[j - 1]
+        in_b = valid_n & (depth_n > lo_lim) & (depth_n <= dj)
+        n_b = jnp.sum(in_b.astype(jnp.int32))
+        rank = jnp.cumsum(in_b.astype(jnp.int32)) - 1
+        r_b = int(min(r_n, max(512, r // dv)))
+        for p in range(passes):
+            lo = p * r_b
+            pos = rank - lo
+            in_pass = in_b & (pos >= 0) & (pos < r_b)
+            slot = jnp.where(in_pass, pos, r_b)
+            idx_b = (
+                jnp.zeros((r_b,), jnp.int32)
+                .at[slot]
+                .set(jnp.arange(r_n, dtype=jnp.int32), mode="drop")
+            )
+            lane_b = jnp.take(idx_n, idx_b, axis=0)
+            valid_b = jnp.arange(r_b, dtype=jnp.int32) < n_b - lo
+            thr0 = jnp.where(
+                valid_b[:, None], jnp.ones((r_b, 3), jnp.float32), 0.0
+            )
+            pix_b = jnp.take(pixel_ids, lane_b, axis=0)
+            smp_b = jnp.take(sample_ids, lane_b, axis=0)
+            o_b, d_b, _ = generate_rays(cp, width, height, pix_b, smp_b, seed)
+            rad_b = trace_replay(
+                sd, o_b, d_b, pix_b, smp_b, seed, dj,
+                jnp.take(rec_n[:dj], idx_b, axis=1),
+                thr_in=thr0, accum_from=head,
+            )
+            rad = rad.at[lane_b].add(
+                jnp.where(valid_b[:, None], rad_b, 0.0), mode="drop"
+            )
+        dropped = n_b - passes * r_b
+        rad = jnp.where(dropped > 0, jnp.float32(jnp.nan), rad)
+    # Narrow-record overflow: deep lanes beyond r_n never re-recorded.
+    return jnp.where(n_deep > r_n, jnp.float32(jnp.nan), rad)
+
+
 @functools.partial(
     jax.jit, static_argnames=("width", "height", "chunk_spp", "max_depth")
 )
@@ -926,7 +1065,45 @@ def render_rays_replay(
             )
             else "staged"
         )
+    import os
+
     o, d, _ = generate_rays(cp, width, height, pixel_ids, sample_ids, seed)
+    # Shallow budgets replay unsplit: narrowing's compaction gathers at
+    # 8.3M lanes cost MORE than the rows they save (v5e, 1080p x 4spp d8:
+    # split fwd 1.15 s vs unsplit 0.33 s — TPU gathers ~7.5 ns/elem).
+    # Deep budgets (the 500-spp depth-50 north-star config) flip the
+    # trade: depth bucketing replaces 40+ full-width rows.
+    if split is None:
+        env = os.environ.get("CRUCIBLE_GRAD_SPLIT")
+        if env is not None:
+            split = env.lower() not in ("0", "off", "false")
+        else:
+            split = max_depth > GRAD_SPLIT_MIN_DEPTH
+    use_2l = (
+        split
+        and rec is None
+        and os.environ.get("CRUCIBLE_GRAD_DEEP_IMPL") != "split"
+        and os.environ.get("CRUCIBLE_GRAD_2L", "1") not in ("0", "off", "false")
+    )
+    if use_2l:
+        # Two-level record + bucketed replay: full-width head record plus a
+        # narrow re-record of the deep survivors — the full-width deep
+        # record was the dominant cost of deep chunks (per-tile exit cannot
+        # help when rare deep lanes land in nearly every tile; see
+        # record_two_level).
+        lims, _ = _bucket_spec(max_depth)
+        rec_h, rec_n, idx_n, valid_n, n_deep = record_two_level(
+            jax.lax.stop_gradient(sd),
+            jax.lax.stop_gradient(cp),
+            width, height, pixel_ids, sample_ids, seed, max_depth,
+            head=lims[0],
+            interpret=backend.pallas_interpret(),
+            record_mode=record_mode,
+        )
+        return replay_bucketed_2l(
+            sd, cp, width, height, o, d, pixel_ids, sample_ids, seed,
+            max_depth, rec_h, rec_n, idx_n, valid_n, n_deep,
+        )
     # The record pass produces only integers, but its interior (early-exit
     # while_loop, raw Pallas intersection) must not carry tangents at all —
     # while_loop has no linearization with unknown primals and the fused
@@ -956,25 +1133,10 @@ def render_rays_replay(
             max_depth,
             use_pallas=use_pallas,
         )
-    # Shallow budgets replay unsplit: narrowing's compaction gathers at
-    # 8.3M lanes cost MORE than the rows they save (v5e, 1080p x 4spp d8:
-    # split fwd 1.15 s vs unsplit 0.33 s — TPU gathers ~7.5 ns/elem).
-    # Deep budgets (the 500-spp depth-50 north-star config) flip the
-    # trade: recursive narrowing replaces 40+ full-width rows.
-    if split is None:
-        import os
-
-        env = os.environ.get("CRUCIBLE_GRAD_SPLIT")
-        if env is not None:
-            split = env.lower() not in ("0", "off", "false")
-        else:
-            split = max_depth > GRAD_SPLIT_MIN_DEPTH
     if not split:
         return trace_replay(
             sd, o, d, pixel_ids, sample_ids, seed, max_depth, rec
         )
-    import os
-
     if os.environ.get("CRUCIBLE_GRAD_DEEP_IMPL") == "split":
         # The r3 head/tail carry-handoff split, kept reachable for A/B
         # measurement (BASELINE.md r4) — the bucketed replay replaced it.
@@ -983,6 +1145,8 @@ def render_rays_replay(
             split_depth=GRAD_DEEP_SPLIT_DEPTH, long_div=GRAD_DEEP_LONG_DIV,
             early_exit=False,
         )
+    # Precomputed records (frozen-decision training) arrive as one full
+    # (D, R) buffer — bucket over it directly.
     return replay_bucketed(
         sd, cp, width, height, o, d, pixel_ids, sample_ids, seed,
         max_depth, rec,

@@ -655,6 +655,65 @@ class TestBucketedReplay:
         )
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
 
+    def test_two_level_record_matches_unsplit(self, monkeypatch):
+        """The two-level record (full-width head + narrow re-record of deep
+        survivors, replay.record_two_level) + bucketed replay must equal
+        the unsplit replay in value (bit-exact) and gradients: the narrow
+        re-record re-traces deep lanes from bounce 0, and decisions are a
+        pure function of (pixel, sample, seed)."""
+        import functools
+
+        monkeypatch.setenv("CRUCIBLE_GRAD_BUCKETS", "4:1,0:1")
+        monkeypatch.setenv("CRUCIBLE_RECORD_DEEP_DIV", "1")
+        sc = self._shell_scene()
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        h = sc.scene_cam.image_height
+        depth = 20
+        pix = jnp.tile(jnp.arange(24 * h, dtype=jnp.uint32), 2)
+        smp = jnp.repeat(jnp.arange(2, dtype=jnp.uint32), 24 * h)
+        seed = jnp.uint32(0)
+
+        def loss(params, split):
+            sd2, cp2 = G.apply_params(sd, cp, params)
+            rad = replay_mod.render_rays_replay(
+                sd2, cp2, 24, h, pix, smp, seed, depth, split=split
+            )
+            return jnp.mean(rad**2)
+
+        params = G.extract_params(sd, cp)
+        v0, g0 = jax.value_and_grad(functools.partial(loss, split=False))(params)
+        v1, g1 = jax.value_and_grad(functools.partial(loss, split=True))(params)
+        assert float(v0) == float(v1)
+        for k in ("tex_color", "mat_emission", "mat_fuzz", "cam_vfov"):
+            np.testing.assert_allclose(
+                np.asarray(g1[k]), np.asarray(g0[k]), rtol=1e-5, atol=1e-7,
+                err_msg=k,
+            )
+
+    def test_two_level_overflow_poisons(self):
+        """Deep lanes beyond the narrow record's capacity poison with NaN."""
+        from crucible_tpu.models.camera import generate_rays as gr
+
+        sc = self._shell_scene()
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        h = sc.scene_cam.image_height
+        depth = 20
+        pix = jnp.tile(jnp.arange(24 * h, dtype=jnp.uint32), 2)
+        smp = jnp.repeat(jnp.arange(2, dtype=jnp.uint32), 24 * h)
+        seed = jnp.uint32(0)
+        o, d, _ = gr(cp, 24, h, pix, smp, seed)
+        rh, rn, idxn, validn, ndeep = replay_mod.record_two_level(
+            sd, cp, 24, h, pix, smp, seed, depth, head=4, div=100000
+        )
+        assert int(ndeep) > rn.shape[1]  # genuinely overflowing
+        rad = replay_mod.replay_bucketed_2l(
+            sd, cp, 24, h, o, d, pix, smp, seed, depth,
+            rh, rn, idxn, validn, ndeep, spec=((4, 1), (0, 2)),
+        )
+        assert bool(jnp.isnan(rad).any())
+
     def test_overflow_poisons_loudly(self):
         """Survivors beyond a narrow bucket's static capacity must poison
         the radiance with NaN — loud, never silently truncated."""

@@ -508,6 +508,69 @@ def gradprof50(w=1920, h=1080, spp=4, depth=50):
             finite=bool(np.isfinite(v)))
 
 
+def gradprof50b(w=1920, h=1080, spp=4, depth=50):
+    """Round-4 follow-up: record-depth scaling (is the full-width d50
+    record the chunk's dominant cost?), the two-level record, and the
+    production deep chunk through the new bucketed path."""
+    from crucible_tpu import grad as G
+    from crucible_tpu.models import demo, replay
+
+    sc = demo.book1_end_scene(width=400)
+    sd = sc.build()
+    cp = sc.scene_cam.params()
+    params = G.extract_params(sd, cp)
+    rays = w * h * spp
+    pix0 = jnp.arange(w * h, dtype=jnp.uint32)
+    pix = jnp.tile(pix0, spp)
+    smp = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), w * h)
+    seed = jnp.uint32(1)
+
+    def timeit(name, fn, *args, n=1):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(n):
+            out = fn(*args)
+        x = jax.tree_util.tree_leaves(out)[0]
+        float(np.asarray(x[(0,) * x.ndim] if x.ndim else x))
+        dt = (time.time() - t0) / n
+        log(bench=f"gradprof50b_{name}", seconds=round(dt, 3),
+            mrays_per_s=round(rays / dt / 1e6, 2))
+        return out
+
+    for dep in (8, 50):
+        rec_f = jax.jit(
+            lambda sd_, cp_, dep=dep: replay.trace_record_mega(
+                sd_, cp_, w, h, pix, smp, seed, dep
+            )
+        )
+        timeit(f"record_d{dep}", rec_f, sd, cp)
+
+    two_f = jax.jit(
+        lambda sd_, cp_: replay.record_two_level(
+            sd_, cp_, w, h, pix, smp, seed, depth, head=8
+        )
+    )
+    out = timeit("record_2l", two_f, sd, cp)
+    log(bench="gradprof50b_2l_ndeep", n_deep=int(np.asarray(out[4])),
+        r_n=int(out[1].shape[1]))
+
+    target = jnp.zeros((w * h, 3), jnp.float32)
+    kw = dict(width=w, height=h, spp=spp, max_depth=depth, method="replay")
+    chunk = timeit(
+        "chunk_bwd",
+        lambda: G.loss_and_grad(
+            params, sd, cp, target, pix0, seed, sample0=jnp.uint32(0), **kw
+        ),
+    )
+    finite = all(
+        bool(jnp.isfinite(x).all())
+        for x in jax.tree_util.tree_leaves(chunk[1])
+    )
+    log(bench="gradprof50b_chunk_finite", finite=finite,
+        loss=round(float(chunk[0]), 6))
+
+
 def grad500(w=1920, h=1080, spp=500, depth=50, chunk=4):
     """The STATED north-star fwd+bwd config (BASELINE.json): book1
     1920x1080 @ 500 spp, max_depth 50 — measured as 125 accumulated
@@ -611,5 +674,5 @@ if __name__ == "__main__":
         "grad": grad, "leafsweep": leafsweep, "r2": r2, "r3": r3,
         "earthprof": earthprof, "gradprof": gradprof, "fetchbench": fetchbench,
         "teapotx": teapotx, "movie": movie, "grad500": grad500, "frozen": frozen,
-        "gradprof50": gradprof50,
+        "gradprof50": gradprof50, "gradprof50b": gradprof50b,
     }[mode]()
