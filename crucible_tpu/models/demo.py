@@ -154,6 +154,48 @@ def garden_skybox(width: int = 1920) -> Scene:
     return sc
 
 
+def sphere_stress(width: int = 400, copies: int = 4, seed: int = 7) -> Scene:
+    """book1's random-sphere field tiled ``copies`` times across a grid —
+    the multi-tile sphere-table stress scene (VERDICT r3 #5). Each copy is
+    a fresh 22x22 random field offset by a grid cell, so N ~ 484 * copies
+    spans several 512-row megakernel tiles and most tiles' spheres are far
+    from most rays: the scenario where cluster chunk-culling can win.
+    Camera/quality settings match book1 (demo_images.rs:14-26)."""
+    sc = book1_end_scene(width=width, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    counter = 0
+    side = int(np.ceil(np.sqrt(max(copies - 1, 0))))
+    offsets = []
+    for gx in range(-side, side + 1):
+        for gz in range(-side, side + 1):
+            if (gx, gz) != (0, 0):
+                offsets.append((gx * 23.0, gz * 23.0))
+    offsets.sort(key=lambda o: abs(o[0]) + abs(o[1]))
+    for dx, dz in offsets[: max(copies - 1, 0)]:
+        for a in range(-11, 11):
+            for b in range(-11, 11):
+                choose_mat = rng.random()
+                center = (
+                    dx + a + 0.9 * rng.random(),
+                    0.2,
+                    dz + b + 0.9 * rng.random(),
+                )
+                if choose_mat < 0.8:
+                    material = Lambertian.from_color(
+                        tuple(rng.random(3) * rng.random(3))
+                    )
+                elif choose_mat < 0.95:
+                    material = Metal(
+                        tuple(rng.uniform(0.5, 1.0, 3)),
+                        float(rng.uniform(0.0, 0.5)),
+                    )
+                else:
+                    material = Dielectric(1.5)
+                sc.add_element(Sphere(center, 0.2, material), f"stress{counter}")
+                counter += 1
+    return sc
+
+
 def smoke_scene(width: int = 400) -> Scene:
     """BASELINE config 1: single Lambertian sphere + ground, 16 spp, depth 8 —
     the CPU-runnable smoke test."""

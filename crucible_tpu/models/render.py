@@ -39,6 +39,12 @@ from crucible_tpu.utils import backend
 DEFAULT_RAYS_PER_PASS_TPU = 1 << 16
 DEFAULT_RAYS_PER_PASS_CPU = 1 << 13
 
+# Megakernel cluster culling engages by default above this sphere-table row
+# count (cull=None). Single-tile scenes (book1's 512 rows) measured SLOWER
+# with culling on v5e (lax.cond overhead > skipped work); the r4 multi-tile
+# stress sweep (tools/tpu_bench.py stress) sets the crossover.
+CULL_MIN_ROWS = 1024
+
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth", "samples_in_pass"))
 def _render_tile(
@@ -126,6 +132,7 @@ def render_image_persistent(
     use_pallas: bool | None = None,
     schedule: str = "auto",
     progress=None,
+    cull: bool | None = None,
 ) -> np.ndarray:
     """Whole-image render in ONE device dispatch via the persistent
     wavefront. The production TPU path.
@@ -189,12 +196,31 @@ def render_image_persistent(
         lanes=lanes,
         use_pallas=use_pallas,
     )
-    # Note: megakernel cluster culling (megakernel.cluster_spheres) measured
-    # SLOWER on v5e for book1-class scenes — 16 lax.cond chunks add ~8 us to
-    # an ~12 us tile-iteration while few chunks skip. The driver therefore
-    # runs the brute-force megakernel; clustering stays available (and
-    # bit-exact-tested) via trace_persistent_mega's cluster_* args for
-    # many-sphere scenes where skipping wins.
+    # Megakernel cluster culling (megakernel.cluster_spheres): measured
+    # SLOWER on v5e for single-tile scenes — 16 lax.cond chunks add ~8 us to
+    # an ~12 us tile-iteration while few chunks skip (book1, N=512 rows).
+    # On multi-tile sphere tables most chunks ARE far from most rays, and
+    # the r4 stress sweep (tools/tpu_bench.py stress; BASELINE.md) measured
+    # the crossover — `cull=None` picks by table size.
+    cluster_args = {}
+    if cull is None:
+        cull = schedule in ("auto", "mega") and sd.sph_center.shape[0] > CULL_MIN_ROWS
+    if cull:
+        from crucible_tpu.ops.pallas import megakernel as mk
+
+        perm, cbounds = mk.cluster_spheres(
+            np.asarray(sd.sph_center), np.asarray(sd.sph_radius),
+            np.asarray(sd.sph_active),
+            center_d=(
+                np.asarray(sd.sph_center_d) if sd.sph_center_d is not None else None
+            ),
+            radius_d=(
+                np.asarray(sd.sph_radius_d) if sd.sph_radius_d is not None else None
+            ),
+        )
+        cluster_args = dict(
+            cluster_perm=jnp.asarray(perm), cluster_bounds=jnp.asarray(cbounds)
+        )
     if schedule == "record":
         from crucible_tpu.models import replay as replay_mod
 
@@ -224,7 +250,7 @@ def render_image_persistent(
     def dispatch(s0, s1, sched):
         return _render_persistent(
             sd, cp, jnp.uint32(seed), jnp.uint32(s1), jnp.uint32(s0),
-            schedule=sched, **kw,
+            schedule=sched, **(cluster_args if sched == "mega" else {}), **kw,
         )
 
     t0 = time.time()

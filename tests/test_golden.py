@@ -89,6 +89,28 @@ def test_golden_megakernel_high_spp():
     assert d.mean() < 2e-3, d.mean()
 
 
+GOLDEN_TPU = Path(__file__).parent / "goldens" / "golden_tpu_v1.npz"
+
+
+def test_tpu_golden_file_honest():
+    """The real-chip golden references (tools/make_tpu_goldens.py; asserted
+    on the chip by `tools/tpu_bench.py golden`) must stay in sync with the
+    CPU tiled reference renderer: all six worlds present at 64px/8spp, and
+    the cheapest world re-rendered here bit-for-bit."""
+    z = np.load(GOLDEN_TPU)
+    assert sorted(z.files) == sorted(
+        ["smoke_scene", "book1_end_scene", "checkered_spheres", "earth",
+         "load_teapot", "garden_skybox"]
+    )
+    for name in z.files:
+        assert z[name].shape[1] == 64 and z[name].shape[2] == 3, name
+    sc = demo.smoke_scene(width=64)
+    img = render.render_image(sc, samples=8, max_depth=8, seed=0, mode="tiled")
+    np.testing.assert_allclose(
+        np.asarray(img), z["smoke_scene"], atol=2e-5
+    )
+
+
 def test_golden_earth_record_schedule():
     """Earth (image texture) against the stored golden THROUGH the record
     schedule — the megakernel-geometry production path for textured scenes

@@ -217,6 +217,27 @@ class TestRendererModes:
         )
         np.testing.assert_array_equal(np.asarray(plain), np.asarray(clustered))
 
+    def test_megakernel_cluster_culling_multitile(self):
+        """Culling bit-identity on a MULTI-TILE sphere table (the r3
+        verdict was N=512-only): sphere_stress at 2048 rows spans 4 tiles
+        whose chunks mostly sit far from most rays. Routed through the
+        render driver's cull flag (render_image_persistent builds the
+        clusters host-side)."""
+        from crucible_tpu.models import render
+
+        sc = demo.sphere_stress(width=24, copies=4)
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
+        assert sd.sph_center.shape[0] >= 2048
+        plain = render.render_image_persistent(
+            sd, cp, w, h, 2, 4, 0, schedule="mega", cull=False
+        )
+        culled = render.render_image_persistent(
+            sd, cp, w, h, 2, 4, 0, schedule="mega", cull=True
+        )
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(culled))
+
     def test_megakernel_triangle_bvh_matches_staged(self):
         # 80-triangle fan (> BVH_MIN_TRIS) + ground sphere: the in-kernel
         # tile-coherent BVH traversal must match the staged XLA traversal.
