@@ -304,3 +304,48 @@ class TestFrozenDecisionTraining:
             upd, state = opt.update(grads, state, params)
             params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
         assert losses[-1] < losses[0]
+
+
+class TestTrainDemoResume:
+    """tools/train_demo.py (the end-to-end inverse-rendering demo): a run
+    resumed from a mid-run checkpoint must be BIT-identical to the
+    uninterrupted run — records, sample windows and optimizer state are
+    pure functions of the step index and the checkpoint."""
+
+    def _load(self):
+        import importlib.util
+        from pathlib import Path
+
+        p = Path(__file__).parent.parent / "tools" / "train_demo.py"
+        spec = importlib.util.spec_from_file_location("train_demo", p)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_resumed_equals_uninterrupted(self, tmp_path):
+        td = self._load()
+        kw = dict(
+            scene="earth", width=24, steps=4, spp=2, depth=3, target_spp=2,
+            rerecord=2, ckpt_every=1, lr=5e-2, verbose=False,
+        )
+        p_full, l_full = td.run(out_dir=tmp_path / "full", resume=True, **kw)
+        # Interrupted: 2 steps, then resume to 4 from the checkpoint.
+        kw2 = dict(kw, steps=2)
+        td.run(out_dir=tmp_path / "resumed", resume=True, **kw2)
+        p_res, l_res = td.run(out_dir=tmp_path / "resumed", resume=True, **kw)
+        assert [r["loss"] for r in l_res] == [r["loss"] for r in l_full]
+        for k in p_full:
+            for a, b in zip(
+                jax.tree_util.tree_leaves(p_full[k]),
+                jax.tree_util.tree_leaves(p_res[k]),
+            ):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_loss_descends(self, tmp_path):
+        td = self._load()
+        _, losses = td.run(
+            scene="earth", width=24, steps=6, spp=2, depth=3, target_spp=4,
+            rerecord=3, ckpt_every=6, lr=8e-2, out_dir=tmp_path,
+            resume=False, verbose=False,
+        )
+        assert losses[-1]["loss"] < losses[0]["loss"] * 0.7, losses

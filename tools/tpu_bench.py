@@ -571,6 +571,56 @@ def gradprof50b(w=1920, h=1080, spp=4, depth=50):
         loss=round(float(chunk[0]), 6))
 
 
+def gradprof50c(w=1920, h=1080, spp=4, depth=50):
+    """Bucket/record shape sweep for the deep chunk: head depth, narrow
+    record divisor, tail divisor (env knobs re-read per variant;
+    jax.clear_caches() forces retraces since the env is not in jit keys)."""
+    import os
+
+    from crucible_tpu import grad as G
+    from crucible_tpu.models import demo
+
+    sc = demo.book1_end_scene(width=400)
+    sd = sc.build()
+    cp = sc.scene_cam.params()
+    params = G.extract_params(sd, cp)
+    rays = w * h * spp
+    pix0 = jnp.arange(w * h, dtype=jnp.uint32)
+    target = jnp.zeros((w * h, 3), jnp.float32)
+    seed = jnp.uint32(1)
+    kw = dict(width=w, height=h, spp=spp, max_depth=depth, method="replay")
+
+    for tag, buckets, rdiv in (
+        ("h8d16", "8:1,0:16", "8"),         # current default
+        ("h6d16", "6:1,0:16", "8"),         # shallower head
+        ("h6d24", "6:1,0:24", "16"),        # + tighter tail/narrow record
+        ("h8d24", "8:1,0:24", "16"),
+    ):
+        os.environ["CRUCIBLE_GRAD_BUCKETS"] = buckets
+        os.environ["CRUCIBLE_RECORD_DEEP_DIV"] = rdiv
+        jax.clear_caches()
+        out = G.loss_and_grad(
+            params, sd, cp, target, pix0, seed, sample0=jnp.uint32(0), **kw
+        )
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(2):
+            out = G.loss_and_grad(
+                params, sd, cp, target, pix0, seed, sample0=jnp.uint32(0), **kw
+            )
+        loss = float(out[0])
+        dt = (time.time() - t0) / 2
+        finite = all(
+            bool(jnp.isfinite(x).all())
+            for x in jax.tree_util.tree_leaves(out[1])
+        )
+        log(bench=f"gradprof50c_{tag}", seconds=round(dt, 3),
+            mrays_per_s=round(rays / dt / 1e6, 2), loss=round(loss, 6),
+            finite=finite)
+    os.environ.pop("CRUCIBLE_GRAD_BUCKETS", None)
+    os.environ.pop("CRUCIBLE_RECORD_DEEP_DIV", None)
+
+
 def grad500(w=1920, h=1080, spp=500, depth=50, chunk=4):
     """The STATED north-star fwd+bwd config (BASELINE.json): book1
     1920x1080 @ 500 spp, max_depth 50 — measured as 125 accumulated
@@ -585,9 +635,12 @@ def grad500(w=1920, h=1080, spp=500, depth=50, chunk=4):
     params = G.extract_params(sd, cp)
     pix = jnp.arange(w * h, dtype=jnp.uint32)
     target = jnp.zeros((w * h, 3), jnp.float32)
-    # Warm-up: compile the one chunk executable.
+    # Warm-up: compile the one chunk executable. sample0 MUST be passed as
+    # a traced uint32 exactly like loss_and_grad_accum does — a default
+    # Python-int sample0 traces a DIFFERENT executable and the first accum
+    # chunk then pays a fresh ~40 s compile inside the timed window.
     l, g = G.loss_and_grad(
-        params, sd, cp, target, pix, jnp.uint32(0),
+        params, sd, cp, target, pix, jnp.uint32(0), sample0=jnp.uint32(0),
         width=w, height=h, spp=chunk, max_depth=depth,
     )
     jax.block_until_ready(g)
@@ -767,5 +820,5 @@ if __name__ == "__main__":
         "earthprof": earthprof, "gradprof": gradprof, "fetchbench": fetchbench,
         "teapotx": teapotx, "movie": movie, "grad500": grad500, "frozen": frozen,
         "gradprof50": gradprof50, "gradprof50b": gradprof50b,
-        "golden": golden, "stress": stress,
+        "golden": golden, "stress": stress, "gradprof50c": gradprof50c,
     }[mode]()
