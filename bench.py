@@ -201,6 +201,49 @@ def main() -> None:
                 print(f"bench: frozen-step measurement failed: {e}",
                       file=__import__("sys").stderr)
 
+    # --- fwd+bwd at the FULL north-star budget (1080p, 500 spp, depth 50):
+    # the r4 headline (two-level record + depth-bucketed replay). ~4-5 min
+    # including the chunk compile; BENCH_GRAD500=0 skips.
+    deep_rps = None
+    if (
+        do_grad
+        and jax.default_backend() != "cpu"
+        and width == 1920
+        and os.environ.get("BENCH_GRAD500", "1") != "0"
+    ):
+        try:
+            bw, bh, bspp, bdepth, chunk = 1920, 1080, 500, 50, 4
+            pix = jnp.arange(bw * bh, dtype=jnp.uint32)
+            target = jnp.zeros((bw * bh, 3), jnp.float32)
+            kw = dict(width=bw, height=bh, spp=chunk, max_depth=bdepth)
+            # Warmup MUST pass sample0 as traced uint32 — the accum loop
+            # does, and a Python-int default traces a different executable.
+            l, _ = grad_mod.loss_and_grad(
+                params, sd, cp, target, pix, jnp.uint32(0),
+                sample0=jnp.uint32(0), **kw,
+            )
+            float(l)
+            t0 = time.time()
+            loss, grads = grad_mod.loss_and_grad_accum(
+                params, sd, cp, target, pix, jnp.uint32(1),
+                width=bw, height=bh, spp=bspp, max_depth=bdepth,
+                chunk_spp=chunk,
+            )
+            loss = float(loss)  # forced fetch ends the timed window
+            deep_s = time.time() - t0
+            finite = all(
+                bool(jnp.isfinite(x).all())
+                for x in jax.tree_util.tree_leaves(grads)
+            )
+            if finite:
+                deep_rps = bw * bh * bspp / deep_s
+            else:
+                print("bench: grad500 grads not finite; omitting",
+                      file=__import__("sys").stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: grad500 measurement failed: {e}",
+                  file=__import__("sys").stderr)
+
     # --- vs_baseline: latest previous round that ran on TPU ---------------
     # CPU fallbacks (BENCH_r02) are non-comparable: skip them when picking
     # the comparison-of-record, and emit null when THIS run is a fallback.
@@ -238,6 +281,8 @@ def main() -> None:
         out["fwd_bwd_rays_per_sec_192x108"] = round(bwd_small_rps, 1)
     if frozen_rps is not None:
         out["fwd_bwd_frozen_decisions_rays_per_sec"] = round(frozen_rps, 1)
+    if deep_rps is not None:
+        out["fwd_bwd_northstar_500spp_d50_rays_per_sec"] = round(deep_rps, 1)
     print(json.dumps(out))
 
 

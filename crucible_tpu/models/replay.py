@@ -681,12 +681,16 @@ def replay_split(
 # are (depth_limit, width_divisor); the first bucket is the full-width head,
 # a limit of 0 stretches to max_depth. Divisor capacities carry the same
 # NaN-overflow-guard contract as replay_split (loud, never silently biased):
-# r/16 = 6.25% vs the 2.14% of book1 lanes alive past row 8 (2.9x margin,
-# gradprof50_depth_dist r4). TWO buckets measured fastest on v5e at the
-# 1080p x 4spp d50 config — compaction overhead beats lane-row savings:
-# fwd+bwd 1.337 s vs 1.458 (8:1,16:8,0:32) and 1.378 (4-bucket); the r3
-# carry-handoff split took 2.099 s on the same records.
-GRAD_BUCKET_SPEC = ((8, 1), (0, 16))
+# r/16 = 6.25% vs the 4.0% of book1 lanes alive past row 6 (1.56x margin —
+# tighter than r3's 5.7x, accepted because overflow is loud and the sweep
+# (gradprof50c) showed div 24's 1.04x margin is the next win; the unsplit
+# escape hatch is split=False / CRUCIBLE_GRAD_SPLIT=0).
+# TWO buckets measured fastest on v5e at 1080p x 4spp d50 — compaction
+# overhead beats lane-row savings: head-8 variants ran 1.337 s (8:1,0:16)
+# vs 1.458 (8:1,16:8,0:32) and 1.378 (4-bucket), r3 carry-handoff split
+# 2.099 s; shortening the head to 6 rows reached 1.67 s full-chunk
+# (gradprof50c_h6d16) against 1.94 for head 8.
+GRAD_BUCKET_SPEC = ((6, 1), (0, 16))
 
 
 def _bucket_spec(max_depth: int, spec=None):
@@ -801,10 +805,10 @@ def replay_bucketed(
     return rad
 
 
-# Narrow re-record capacity for the two-level record: R/8 = 12.5% of lanes
-# vs the 2.14% that survive the 8-row head on book1 (5.8x margin; overflow
+# Narrow re-record capacity for the two-level record: R/12 = 8.3% of lanes
+# vs the 4.0% that survive the 6-row head on book1 (2.1x margin; overflow
 # poisons loudly like every other static capacity here).
-RECORD_DEEP_DIV = 8
+RECORD_DEEP_DIV = 12
 
 
 def record_two_level(

@@ -212,6 +212,37 @@ def teapotx(width=400, spp=32, depth=50):
     run("hidden", sd, cp, w, h)
 
 
+def teapot1(width=400, spp=32, depth=50):
+    """ONE teapot megakernel point for the (leaf, NODE_WIN, MAX_LEAVES)
+    joint sweep (VERDICT r3 #6). NODE_WIN/MAX_LEAVES are import-time env
+    knobs, so each point runs in its own process:
+        CRUCIBLE_NODE_WIN=16 CRUCIBLE_MAX_LEAVES=4 SWEEP_LEAF=32 \\
+            python tools/tpu_bench.py teapot1"""
+    import os
+
+    from crucible_tpu.models import demo, render
+    from crucible_tpu.ops.pallas import megakernel as mk
+
+    leaf = int(os.environ.get("SWEEP_LEAF", "64"))
+    sc = demo.load_teapot(width=width)
+    sd = sc.build(leaf_size=leaf)
+    cp = sc.scene_cam.params()
+    w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
+    render.render_image_persistent(sd, cp, w, h, 2, depth, 0)
+    best = None
+    for rep in range(2):
+        t0 = time.time()
+        img = render.render_image_persistent(sd, cp, w, h, spp, depth, 1 + rep)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    log(
+        bench=f"teapot1_leaf{leaf}_win{mk.NODE_WIN}_ml{mk.MAX_LEAVES}",
+        spp=spp, seconds=round(best, 3),
+        mrays_per_s=round(w * h * spp / best / 1e6, 2),
+        mean=round(float(img.mean()), 4),
+    )
+
+
 def earthprof(width=400, spp=32, depth=50):
     """Split the earth demo's record-schedule cost: record kernel vs replay
     vs live-row count, steady state (one chunk, compiled out of the timing)."""
@@ -590,19 +621,34 @@ def gradprof50c(w=1920, h=1080, spp=4, depth=50):
     seed = jnp.uint32(1)
     kw = dict(width=w, height=h, spp=spp, max_depth=depth, method="replay")
 
-    for tag, buckets, rdiv in (
+    variants = (
         ("h8d16", "8:1,0:16", "8"),         # current default
         ("h6d16", "6:1,0:16", "8"),         # shallower head
         ("h6d24", "6:1,0:24", "16"),        # + tighter tail/narrow record
         ("h8d24", "8:1,0:24", "16"),
-    ):
+    )
+    only = set(sys.argv[2:])  # resume a partial sweep: pass variant tags
+    for tag, buckets, rdiv in variants:
+        if only and tag not in only:
+            continue
         os.environ["CRUCIBLE_GRAD_BUCKETS"] = buckets
         os.environ["CRUCIBLE_RECORD_DEEP_DIV"] = rdiv
         jax.clear_caches()
-        out = G.loss_and_grad(
-            params, sd, cp, target, pix0, seed, sample0=jnp.uint32(0), **kw
-        )
-        jax.block_until_ready(out)
+        out = None
+        for attempt in range(3):
+            try:
+                out = G.loss_and_grad(
+                    params, sd, cp, target, pix0, seed,
+                    sample0=jnp.uint32(0), **kw,
+                )
+                break
+            except Exception as e:  # transient tunnel/remote-compile hiccups
+                log(bench=f"gradprof50c_{tag}_retry", attempt=attempt,
+                    err=str(e)[:120])
+                time.sleep(20)
+        if out is None:
+            continue
+        float(out[0])  # forced fetch: block_until_ready can no-op (tunnel)
         t0 = time.time()
         for _ in range(2):
             out = G.loss_and_grad(
@@ -757,13 +803,19 @@ def golden(out_json=None):
         raise SystemExit(f"golden drift in: {drifted}")
 
 
-def movie(duration=5.0, out="/tmp/first_movie_tpu"):
-    """BASELINE config 5 end-to-end: the first_movie camera walk (metal
-    ball + garden equirect sky), per-frame checkpoints (skip_existing),
-    per-frame seconds logged, ffmpeg assembly (VERDICT r2 #10)."""
+def movie(duration=5.0, out=None, world=None):
+    """BASELINE config 5 end-to-end: a movie demo rendered frame-by-frame
+    with per-frame checkpoints (skip_existing), per-frame seconds logged,
+    ffmpeg assembly (VERDICT r2 #10).
+
+        python tools/tpu_bench.py movie [out_dir] [world]"""
     from crucible_tpu.models import demo, render
 
-    sc = demo.first_movie(duration=duration)
+    if out is None:
+        out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/first_movie_tpu"
+    if world is None:
+        world = sys.argv[3] if len(sys.argv) > 3 else "first_movie"
+    sc = getattr(demo, world)(duration=duration)
     n = render.compute_frame_count(duration, sc.frame_rate)
     secs = []
 
@@ -775,10 +827,13 @@ def movie(duration=5.0, out="/tmp/first_movie_tpu"):
     path = render.render_movie(sc, out, skip_existing=True, verbose=False,
                                on_frame=on_frame)
     wall = time.time() - t0
-    rays = sc.scene_cam.image_width * sc.scene_cam.image_height * 50
+    rays = (
+        sc.scene_cam.image_width * sc.scene_cam.image_height
+        * sc.scene_cam.samples
+    )
     steady = sorted(secs)[len(secs) // 2] if secs else None
     log(
-        bench="movie_first_movie_400w",
+        bench=f"movie_{world}_{sc.scene_cam.image_width}w",
         frames=n,
         rendered=len(secs),
         wall_s=round(wall, 1),
@@ -821,4 +876,5 @@ if __name__ == "__main__":
         "teapotx": teapotx, "movie": movie, "grad500": grad500, "frozen": frozen,
         "gradprof50": gradprof50, "gradprof50b": gradprof50b,
         "golden": golden, "stress": stress, "gradprof50c": gradprof50c,
+        "teapot1": teapot1,
     }[mode]()
