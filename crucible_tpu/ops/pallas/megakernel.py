@@ -76,6 +76,14 @@ NODE_WIN = int(_os.environ.get("CRUCIBLE_NODE_WIN", "16"))
 # inflated MT rows with masked dead weight. sim @ sah64: iters/tile
 # 14.0 -> 7.8 (ml=2, win16) -> 5.6 (ml=3, win16).
 MAX_LEAVES = int(_os.environ.get("CRUCIBLE_MAX_LEAVES", "3"))
+
+# Winner-attribute fetch via a one-hot MXU contraction instead of per-column
+# masked sums on the VPU (see the fetch site below). Off by default until
+# the on-chip bit-exactness + throughput check (tools/tpu_bench.py mxufetch)
+# has run on the target toolchain.
+MXU_FETCH = _os.environ.get("CRUCIBLE_MXU_FETCH", "0").lower() not in (
+    "0", "false", "off",
+)
 # The window's any-hit bits pack into ONE int32 word (1 << i per row); more
 # than 31 rows would overflow the shift and corrupt traversal (ADVICE r2).
 assert NODE_WIN <= 31, "hit-mask packing holds at most 31 window rows"
@@ -433,10 +441,32 @@ def _kernel(
             )
             win = (rows == idx) & (t < BIG)  # exact one-hot (N, T)
             hit = t[0:1, :] < BIG
-            attrs = {
-                c: jnp.sum(jnp.where(win, col(c), 0.0), axis=0, keepdims=True)
-                for c in attr_cols
-            }
+            if MXU_FETCH and not rec_depth:
+                # Winner fetch as ONE one-hot contraction on the (otherwise
+                # idle) MXU instead of 2*N VPU ops per column — the fetch
+                # was 44 of ~77 VPU ops/(row,lane) (BASELINE.md roofline).
+                # BIT-EXACT despite bf16 passes: a one-hot contraction has
+                # exactly one nonzero product per output; 1.0/0.0 are exact
+                # in bf16 and HIGHEST's 3-way f32 operand split (hi/mid/lo
+                # bf16 triples with disjoint 8-bit mantissa ranges) sums
+                # back to the original f32 bit-for-bit — no cancellation,
+                # unlike the rejected MT-as-matmul probe (tpu_probe_mxu).
+                # Verified on-chip: tools/tpu_bench.py mxufetch.
+                res = jax.lax.dot_general(
+                    table_ref[:, :],  # (N, 32)
+                    jnp.where(win, 1.0, 0.0),  # (N, T)
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (32, T)
+                attrs = {c: res[c : c + 1, :] for c in attr_cols}
+            else:
+                attrs = {
+                    c: jnp.sum(
+                        jnp.where(win, col(c), 0.0), axis=0, keepdims=True
+                    )
+                    for c in attr_cols
+                }
         else:
             # Chunked: slab-test each cluster's AABB against the live rays
             # and lax.cond-skip chunks nobody can hit. Tiles are contiguous

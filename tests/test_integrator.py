@@ -238,6 +238,34 @@ class TestRendererModes:
         )
         np.testing.assert_array_equal(np.asarray(plain), np.asarray(culled))
 
+    def test_megakernel_mxu_fetch_matches(self, monkeypatch):
+        """The one-hot MXU winner fetch (CRUCIBLE_MXU_FETCH) must be
+        bit-identical to the per-column masked sums. Interpret mode checks
+        the wiring in exact f32; the on-chip bf16-pass exactness is checked
+        by tools/tpu_bench.py mxufetch (sha256 equality)."""
+        from crucible_tpu.ops.pallas import megakernel as mk
+
+        sc = demo.book1_end_scene(width=32)
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
+
+        def run():
+            jax.clear_caches()  # MXU_FETCH is not part of the jit key
+            return np.asarray(
+                integrator.trace_persistent_mega(
+                    sd, cp, w, h, jnp.uint32(2), 4, jnp.uint32(0),
+                    interpret=True,
+                )
+            )
+
+        monkeypatch.setattr(mk, "MXU_FETCH", False)
+        plain = run()
+        monkeypatch.setattr(mk, "MXU_FETCH", True)
+        mxu = run()
+        jax.clear_caches()
+        np.testing.assert_array_equal(plain, mxu)
+
     def test_megakernel_triangle_bvh_matches_staged(self):
         # 80-triangle fan (> BVH_MIN_TRIS) + ground sphere: the in-kernel
         # tile-coherent BVH traversal must match the staged XLA traversal.

@@ -212,6 +212,41 @@ def teapotx(width=400, spp=32, depth=50):
     run("hidden", sd, cp, w, h)
 
 
+def mxufetch(width=400, spp=32, depth=50):
+    """One point of the MXU-fetch check (CRUCIBLE_MXU_FETCH is an
+    import-time env knob — run one process per setting):
+        CRUCIBLE_MXU_FETCH=0 python tools/tpu_bench.py mxufetch
+        CRUCIBLE_MXU_FETCH=1 python tools/tpu_bench.py mxufetch
+    Renders book1 through the megakernel, logs throughput AND the image
+    sha256 — the two settings must produce IDENTICAL hashes (the one-hot
+    contraction is bit-exact; see megakernel.py MXU_FETCH)."""
+    import hashlib
+
+    from crucible_tpu.models import demo, render
+    from crucible_tpu.ops.pallas import megakernel as mk
+
+    sc = demo.book1_end_scene(width=width)
+    sd = sc.build()
+    cp = sc.scene_cam.params()
+    w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
+    render.render_image_persistent(sd, cp, w, h, 2, depth, 0, schedule="mega")
+    best = None
+    for rep in range(2):
+        t0 = time.time()
+        img = render.render_image_persistent(
+            sd, cp, w, h, spp, depth, 1, schedule="mega"
+        )
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    sha = hashlib.sha256(np.ascontiguousarray(np.asarray(img))).hexdigest()[:16]
+    log(
+        bench=f"mxufetch_{int(mk.MXU_FETCH)}_{width}w",
+        spp=spp, seconds=round(best, 3),
+        mrays_per_s=round(w * h * spp / best / 1e6, 2),
+        sha=sha, mean=round(float(img.mean()), 5),
+    )
+
+
 def teapot1(width=400, spp=32, depth=50):
     """ONE teapot megakernel point for the (leaf, NODE_WIN, MAX_LEAVES)
     joint sweep (VERDICT r3 #6). NODE_WIN/MAX_LEAVES are import-time env
@@ -876,5 +911,5 @@ if __name__ == "__main__":
         "teapotx": teapotx, "movie": movie, "grad500": grad500, "frozen": frozen,
         "gradprof50": gradprof50, "gradprof50b": gradprof50b,
         "golden": golden, "stress": stress, "gradprof50c": gradprof50c,
-        "teapot1": teapot1,
+        "teapot1": teapot1, "mxufetch": mxufetch,
     }[mode]()
