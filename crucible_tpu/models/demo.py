@@ -154,6 +154,31 @@ def garden_skybox(width: int = 1920) -> Scene:
     return sc
 
 
+def nested_checkers(width: int = 400, nest: int = 3) -> Scene:
+    """checkered_spheres with a ``nest``-level checker (checker-of-checker-
+    of-...): exercises the record schedule's full textures.value resolution
+    at real nesting depth (VERDICT r3 weak #6 — previously only the demo
+    zoo's single level was measured). Each level has its own inv_scale."""
+    from crucible_tpu.models.scene import CheckerTexture, SolidColor
+
+    tex = SolidColor((0.9, 0.9, 0.2))
+    other = SolidColor((0.2, 0.3, 0.1))
+    scale = 0.08
+    for _ in range(nest):
+        tex = CheckerTexture(scale, tex, other)
+        scale *= 3.7
+    sc = Scene.new_image(16.0 / 9.0, width, 24, 180.0)
+    cam = sc.scene_cam
+    cam.set_samples(100)
+    cam.set_max_depth(50)
+    cam.look_from((13.0, 2.0, 3.0))
+    cam.look_at((0.0, 0.0, 0.0))
+    cam.set_vfov(20.0)
+    sc.add_element(Sphere((0.0, -10.0, 0.0), 10.0, Lambertian(tex)), "bottom")
+    sc.add_element(Sphere((0.0, 10.0, 0.0), 10.0, Lambertian(tex)), "top")
+    return sc
+
+
 def sphere_stress(width: int = 400, copies: int = 4, seed: int = 7) -> Scene:
     """book1's random-sphere field tiled ``copies`` times across a grid —
     the multi-tile sphere-table stress scene (VERDICT r3 #5). Each copy is

@@ -150,7 +150,11 @@ def _unit_f32(u):
     return _srl(u, 8).astype(jnp.float32) * _U24
 
 
-CLUSTER = 32  # spheres per culling chunk
+# Spheres per culling chunk. 32 loses even on multi-tile tables (r4 stress:
+# n2048 cull 1.88 s vs brute 1.21 s — the per-chunk lax.cond overhead at 64
+# chunks swamps the skipped quadratics); coarser chunks cut the cond count
+# linearly while still skipping far grid cells.
+CLUSTER = int(_os.environ.get("CRUCIBLE_CLUSTER", "256"))
 _FAR = np.float32(1.0e30)  # empty-chunk sentinel: a far point box never hits
 
 

@@ -458,6 +458,29 @@ class TestRecordSchedule:
         assert d.mean() < 3e-3 and (d > 1e-3).mean() < 0.03, d.max()
 
 
+class TestNestedCheckerRecordSchedule:
+    def test_deep_nest_matches_tiled(self):
+        """The record schedule's replay shading resolves a 3-level nested
+        checker (each level with its own inv_scale) identically to the
+        tiled reference (VERDICT r3 weak #6 — previously unmeasured past
+        one level)."""
+        from crucible_tpu.models import render
+        from crucible_tpu.models import replay as R
+
+        sc = demo.nested_checkers(width=24, nest=3)
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
+        assert sd.tex.max_nest == 3
+        fb = R.render_record_replay(sd, cp, w, h, 2, 4, 0)
+        img = np.asarray(fb).reshape(h, w, 3) / np.float32(2)
+        ref = np.asarray(
+            render.render_image(sc, samples=2, max_depth=4, seed=0, mode="tiled")
+        )
+        d = np.abs(img - ref)
+        assert d.mean() < 3e-3 and (d > 1e-3).mean() < 0.03, d.max()
+
+
 class TestReplayExactMotion:
     """Exact per-ray-time scenes (mid-shutter keyframes) are replayable as
     of r4: the replay re-derives winner geometry from the piecewise-linear

@@ -212,6 +212,28 @@ def teapotx(width=400, spp=32, depth=50):
     run("hidden", sd, cp, w, h)
 
 
+def nestedx(width=400, spp=32, depth=50):
+    """Nested-checker record-schedule throughput at real nesting depth
+    (VERDICT r3 weak #6): textures.value resolves max_nest checker levels
+    in the replay shading."""
+    from crucible_tpu.models import demo, render
+
+    for nest in (1, 2, 3):
+        sc = demo.nested_checkers(width=width, nest=nest)
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
+        render.render_image_persistent(sd, cp, w, h, spp, depth, 0)
+        t0 = time.time()
+        img = render.render_image_persistent(sd, cp, w, h, spp, depth, 0)
+        dt = time.time() - t0
+        log(
+            bench=f"nested{nest}_{width}w", spp=spp, seconds=round(dt, 2),
+            mrays_per_s=round(w * h * spp / dt / 1e6, 2),
+            mean=round(float(img.mean()), 4),
+        )
+
+
 def mxufetch(width=400, spp=32, depth=50):
     """One point of the MXU-fetch check (CRUCIBLE_MXU_FETCH is an
     import-time env knob — run one process per setting):
@@ -911,5 +933,5 @@ if __name__ == "__main__":
         "teapotx": teapotx, "movie": movie, "grad500": grad500, "frozen": frozen,
         "gradprof50": gradprof50, "gradprof50b": gradprof50b,
         "golden": golden, "stress": stress, "gradprof50c": gradprof50c,
-        "teapot1": teapot1, "mxufetch": mxufetch,
+        "teapot1": teapot1, "mxufetch": mxufetch, "nestedx": nestedx,
     }[mode]()
