@@ -44,6 +44,11 @@ DEFAULT_RAYS_PER_PASS_CPU = 1 << 13
 # with culling on v5e (lax.cond overhead > skipped work); the r4 multi-tile
 # stress sweep (tools/tpu_bench.py stress) sets the crossover.
 CULL_MIN_ROWS = 1024
+# Above this row count the BRUTE megakernel is infeasible: its (N, T)
+# candidate intermediates exceed the v5e scoped-VMEM limit (7808 rows x 512
+# lanes OOM'd at 30.4 MB vs the 16 MB scope — r4 stress). The chunked
+# (cluster) path processes CLUSTER rows at a time and stays bounded.
+MEGA_MAX_BRUTE_ROWS = 4096
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth", "samples_in_pass"))
@@ -203,8 +208,21 @@ def render_image_persistent(
     # the r4 stress sweep (tools/tpu_bench.py stress; BASELINE.md) measured
     # the crossover — `cull=None` picks by table size.
     cluster_args = {}
+    rows = int(sd.sph_center.shape[0])
     if cull is None:
-        cull = schedule in ("auto", "mega") and sd.sph_center.shape[0] > CULL_MIN_ROWS
+        cull = schedule in ("auto", "mega") and rows > CULL_MIN_ROWS
+    if (
+        not cull
+        and rows > MEGA_MAX_BRUTE_ROWS
+        and schedule in ("auto", "mega")
+        and backend.on_accelerator()
+    ):
+        raise ValueError(
+            f"brute megakernel infeasible at {rows} sphere rows (the (N, T) "
+            f"candidate buffers exceed scoped VMEM past "
+            f"{MEGA_MAX_BRUTE_ROWS}); pass cull=True (chunked) or a staged "
+            f"schedule"
+        )
     if cull:
         from crucible_tpu.ops.pallas import megakernel as mk
 

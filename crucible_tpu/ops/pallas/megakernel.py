@@ -77,6 +77,12 @@ NODE_WIN = int(_os.environ.get("CRUCIBLE_NODE_WIN", "16"))
 # 14.0 -> 7.8 (ml=2, win16) -> 5.6 (ml=3, win16).
 MAX_LEAVES = int(_os.environ.get("CRUCIBLE_MAX_LEAVES", "3"))
 
+# Execute every leaf slot unconditionally instead of cond-guarding each
+# taken leaf (see the traversal chase below).
+UNCOND_LEAVES = _os.environ.get("CRUCIBLE_UNCOND_LEAVES", "0").lower() not in (
+    "0", "false", "off",
+)
+
 # Winner-attribute fetch via a one-hot MXU contraction instead of per-column
 # masked sums on the VPU (see the fetch site below). Off by default until
 # the on-chip bit-exactness + throughput check (tools/tpu_bench.py mxufetch)
@@ -728,12 +734,16 @@ def _kernel(
                     carry1 = (tb, tnx, tny, tnz, tmid, ttid)
                 else:
                     carry1 = (tb, tnx, tny, tnz, tmid)
-                # One cond-guarded (L, T) MT per TAKEN leaf: iterations with
-                # fewer than MAX_LEAVES takes skip the rest, so total MT
-                # rows equal the single-leaf walk's — only the per-iteration
-                # fixed costs amortize. The cond's carries are six (1, T)
-                # rows — small enough that the cond overhead undercuts the
-                # (tri_leaf, T) MT it skips.
+                # One (L, T) MT per TAKEN leaf. Two dispatch modes:
+                # - cond-guarded (default): iterations with fewer than
+                #   MAX_LEAVES takes skip the rest, so total MT rows equal
+                #   the single-leaf walk's;
+                # - UNCOND_LEAVES: every slot executes unconditionally —
+                #   untaken slots carry count 0 and mask to no-ops, so the
+                #   extra (tri_leaf, T) rows are pure masked VPU work traded
+                #   against the per-cond dispatch overhead (the teapot sweep
+                #   measures which side wins; leaves/tile ~1.3 takes/iter
+                #   means most slot-conds fire empty).
                 for j in range(MAX_LEAVES):
                     bh_j = (
                         jnp.max(
@@ -742,14 +752,20 @@ def _kernel(
                         )
                         > 0
                     )  # (1, T) box gate of taken leaf j's window row
-                    carry1 = jax.lax.cond(
-                        have > j,
-                        functools.partial(
-                            leaf_fn, first=firsts[j], count=counts[j], bh=bh_j
-                        ),
-                        lambda cc: cc,
-                        carry1,
-                    )
+                    if UNCOND_LEAVES:
+                        carry1 = leaf_fn(
+                            carry1, first=firsts[j], count=counts[j], bh=bh_j
+                        )
+                    else:
+                        carry1 = jax.lax.cond(
+                            have > j,
+                            functools.partial(
+                                leaf_fn, first=firsts[j], count=counts[j],
+                                bh=bh_j,
+                            ),
+                            lambda cc: cc,
+                            carry1,
+                        )
                 return (c_next,) + carry1
 
             if rec_depth:

@@ -293,7 +293,10 @@ def teapot1(width=400, spp=32, depth=50):
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     log(
-        bench=f"teapot1_leaf{leaf}_win{mk.NODE_WIN}_ml{mk.MAX_LEAVES}",
+        bench=(
+            f"teapot1_leaf{leaf}_win{mk.NODE_WIN}_ml{mk.MAX_LEAVES}"
+            + ("_uncond" if mk.UNCOND_LEAVES else "")
+        ),
         spp=spp, seconds=round(best, 3),
         mrays_per_s=round(w * h * spp / best / 1e6, 2),
         mean=round(float(img.mean()), 4),
@@ -781,6 +784,13 @@ def stress(width=400, spp=32, depth=50):
         w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
         rows = int(sd.sph_center.shape[0])
         for cull in (False, True):
+            if not cull and rows > render.MEGA_MAX_BRUTE_ROWS:
+                # Brute (N, T) buffers exceed scoped VMEM past ~4k rows
+                # (measured OOM at 7808) — chunked is the only megakernel
+                # option at this scale.
+                log(bench=f"stress_n{rows}_cull0", rows=rows,
+                    skipped="brute infeasible past MEGA_MAX_BRUTE_ROWS")
+                continue
             render.render_image_persistent(
                 sd, cp, w, h, 2, depth, 0, schedule="mega", cull=cull
             )
