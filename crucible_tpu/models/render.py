@@ -194,6 +194,13 @@ def render_image_persistent(
         # Target lane count: enough to saturate the chip (sample groups
         # replicate small pixel grids up to this), modest on CPU.
         lanes = 1 << 20 if backend.on_accelerator() else 1 << 13
+    if sd.motion_exact and lanes > (1 << 16):
+        # Exact per-ray-time scenes gather (R, K, 3) timeline tracks in the
+        # leaf tests; the minor-dim padding (3 -> 128 lanes) of unrolled
+        # gathers blows the compile-time HBM estimate at 2^20 lanes (the
+        # moving_teapot OOM class). Exact mode is a correctness path —
+        # cap its wavefront.
+        lanes = 1 << 16
     kw = dict(
         width=width,
         height=height,

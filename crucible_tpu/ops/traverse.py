@@ -26,18 +26,42 @@ from crucible_tpu.ops.intersect import BIG, MT_EPS
 def _mt_single(o, d, a, b, c, t_min, t_max):
     """Möller–Trumbore for one (per-ray) triangle: all args (R, 3) except
     the scalar/broadcast t bounds. Returns (t, valid)."""
-    e1 = b - a
-    e2 = c - a
-    pvec = jnp.cross(d, e2)
-    det = jnp.sum(e1 * pvec, axis=-1)
-    inv_det = jnp.where(jnp.abs(det) > MT_EPS, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-    tvec = o - a
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    v = jnp.sum(d * qvec, axis=-1) * inv_det
-    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    return _mt_components(
+        (o[:, 0], o[:, 1], o[:, 2]),
+        (d[:, 0], d[:, 1], d[:, 2]),
+        (a[:, 0], a[:, 1], a[:, 2]),
+        (b[:, 0], b[:, 1], b[:, 2]),
+        (c[:, 0], c[:, 1], c[:, 2]),
+        t_min,
+        t_max,
+    )
+
+
+def _mt_components(o, d, a, b, c, t_min, t_max):
+    """Möller–Trumbore on component tuples ((R,) x 3 each) — the layout-
+    safe form: (R,) arrays tile cleanly while (R, 3) pads its minor dim to
+    128 lanes (CLAUDE.md layout poison). Same math as _mt_single /
+    ops/intersect.py, FMA order preserved."""
+    ox, oy, oz = o
+    dx, dy, dz = d
+    ax, ay, az = a
+    e1x, e1y, e1z = b[0] - ax, b[1] - ay, b[2] - az
+    e2x, e2y, e2z = c[0] - ax, c[1] - ay, c[2] - az
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    det_ok = jnp.abs(det) > MT_EPS
+    inv_det = jnp.where(det_ok, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    tvx, tvy, tvz = ox - ax, oy - ay, oz - az
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
     valid = (
-        (jnp.abs(det) > MT_EPS)
+        det_ok
         & (u >= 0.0)
         & (v >= 0.0)
         & (u + v <= 1.0)
@@ -97,6 +121,8 @@ def bvh_hit_triangles(
     r = o.shape[0]
 
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-30, jnp.where(d >= 0, 1e-30, -1e-30), d)
+    ovec = (o[:, 0], o[:, 1], o[:, 2])
+    dvec = (d[:, 0], d[:, 1], d[:, 2])
 
     def cond(state):
         cursor, _, _ = state
@@ -126,16 +152,29 @@ def bvh_hit_triangles(
                 test = box_hit & is_leaf & (li < count)
                 if vertex_fn is not None:
                     a, b, c = vertex_fn(pid)
+                    av = (a[:, 0], a[:, 1], a[:, 2])
+                    bv = (b[:, 0], b[:, 1], b[:, 2])
+                    cv = (c[:, 0], c[:, 1], c[:, 2])
                 else:
-                    a = jnp.take(v0, pid, axis=0)
-                    b = jnp.take(v1, pid, axis=0)
-                    c = jnp.take(v2, pid, axis=0)
+                    # COMPONENT-WISE (R,) gathers, never (R, 3): the minor
+                    # dim of 3 pads to 128 lanes in TPU tiling, and the
+                    # leaf_size-unrolled gathers' live (R, 3) buffers blew
+                    # the compile-time HBM estimate to 92 GB at 2^20 lanes
+                    # (moving_teapot r4 OOM — the (R,3) layout poison,
+                    # CLAUDE.md).
+                    def g3(arr):
+                        return (
+                            jnp.take(arr[:, 0], pid),
+                            jnp.take(arr[:, 1], pid),
+                            jnp.take(arr[:, 2], pid),
+                        )
+
+                    av, bv, cv = g3(v0), g3(v1), g3(v2)
                     if v0d is not None:
-                        wcol = w[:, None]
-                        a = a + wcol * jnp.take(v0d, pid, axis=0)
-                        b = b + wcol * jnp.take(v1d, pid, axis=0)
-                        c = c + wcol * jnp.take(v2d, pid, axis=0)
-                t_hit, valid = _mt_single(o, d, a, b, c, t_min, t_b)
+                        av = tuple(x + w * y for x, y in zip(av, g3(v0d)))
+                        bv = tuple(x + w * y for x, y in zip(bv, g3(v1d)))
+                        cv = tuple(x + w * y for x, y in zip(cv, g3(v2d)))
+                t_hit, valid = _mt_components(ovec, dvec, av, bv, cv, t_min, t_b)
                 upd = test & valid
                 t_b = jnp.where(upd, t_hit, t_b)
                 i_b = jnp.where(upd, pid, i_b)

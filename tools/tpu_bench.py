@@ -749,7 +749,22 @@ def grad500(w=1920, h=1080, spp=500, depth=50, chunk=4):
         params, sd, cp, target, pix, jnp.uint32(0), sample0=jnp.uint32(0),
         width=w, height=h, spp=chunk, max_depth=depth,
     )
-    jax.block_until_ready(g)
+    float(l)  # forced fetch: block_until_ready can no-op via the tunnel
+    # Per-chunk steady-state first (diagnoses accum-loop overhead vs the
+    # chunk itself): 3 pipelined chunks ended by a forced fetch.
+    t0 = time.time()
+    for i in range(3):
+        l, g = G.loss_and_grad(
+            params, sd, cp, target, pix, jnp.uint32(0),
+            sample0=jnp.uint32(4 * i), width=w, height=h, spp=chunk,
+            max_depth=depth,
+        )
+    float(l)
+    log(
+        bench="grad500_chunk_steady",
+        seconds=round((time.time() - t0) / 3, 3),
+        mrays_per_s=round(w * h * chunk * 3 / (time.time() - t0) / 1e6, 2),
+    )
     t0 = time.time()
     loss, grads = G.loss_and_grad_accum(
         params, sd, cp, target, pix, jnp.uint32(1),
