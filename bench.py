@@ -215,12 +215,12 @@ def main() -> None:
             bw, bh, bspp, bdepth, chunk = 1920, 1080, 500, 50, 4
             pix = jnp.arange(bw * bh, dtype=jnp.uint32)
             target = jnp.zeros((bw * bh, 3), jnp.float32)
-            kw = dict(width=bw, height=bh, spp=chunk, max_depth=bdepth)
-            # Warmup MUST pass sample0 as traced uint32 — the accum loop
-            # does, and a Python-int default traces a different executable.
-            l, _ = grad_mod.loss_and_grad(
+            # Warmup compiles the fused accumulation executable the loop
+            # reuses (one single-chunk accum, identical statics).
+            l, _ = grad_mod.loss_and_grad_accum(
                 params, sd, cp, target, pix, jnp.uint32(0),
-                sample0=jnp.uint32(0), **kw,
+                width=bw, height=bh, spp=chunk, max_depth=bdepth,
+                chunk_spp=chunk,
             )
             float(l)
             t0 = time.time()

@@ -198,6 +198,28 @@ loss_and_grad = jax.jit(
 )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_depth", "method"),
+    donate_argnums=(7, 8),
+)
+def _accum_chunk(
+    params, sd, cp, target, pixel_ids, seed, sample0, total, loss_sum,
+    *, width, height, spp, max_depth, method,
+):
+    """One fused accumulation step: chunk loss_and_grad + the running-sum
+    update in a SINGLE dispatch. The eager tree_map adds between chunks
+    used to cost ~0.34 s/chunk through the tunnel (~15 eager op dispatches
+    x ~25-45 ms RTT) — 43 s of the 250 s grad500 run (r4)."""
+    loss, g = jax.value_and_grad(l2_loss)(
+        params, sd, cp, target, pixel_ids, seed,
+        width=width, height=height, spp=spp, max_depth=max_depth,
+        method=method, sample0=sample0,
+    )
+    total = jax.tree_util.tree_map(lambda a, b: a + b, total, g)
+    return loss_sum + loss, total
+
+
 def loss_and_grad_accum(
     params, sd, cp, target, pixel_ids, seed,
     *, width, height, spp, max_depth, chunk_spp, method="auto",
@@ -225,16 +247,12 @@ def loss_and_grad_accum(
         width=width, height=height, spp=chunk_spp, max_depth=max_depth,
         method=method,
     )
-    total = None
-    loss_sum = 0.0
+    total = jax.tree_util.tree_map(jnp.zeros_like, params)
+    loss_sum = jnp.float32(0.0)
     for s0 in range(0, spp, chunk_spp):
-        loss, g = loss_and_grad(
-            params, sd, cp, target, pixel_ids, seed,
-            sample0=jnp.uint32(s0), **kw,
-        )
-        loss_sum = loss_sum + loss
-        total = g if total is None else jax.tree_util.tree_map(
-            lambda a, b: a + b, total, g
+        loss_sum, total = _accum_chunk(
+            params, sd, cp, target, pixel_ids, seed, jnp.uint32(s0),
+            total, loss_sum, **kw,
         )
     inv = 1.0 / n
     return loss_sum * inv, jax.tree_util.tree_map(lambda a: a * inv, total)

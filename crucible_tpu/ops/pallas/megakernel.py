@@ -84,10 +84,12 @@ UNCOND_LEAVES = _os.environ.get("CRUCIBLE_UNCOND_LEAVES", "0").lower() not in (
 )
 
 # Winner-attribute fetch via a one-hot MXU contraction instead of per-column
-# masked sums on the VPU (see the fetch site below). Off by default until
-# the on-chip bit-exactness + throughput check (tools/tpu_bench.py mxufetch)
-# has run on the target toolchain.
-MXU_FETCH = _os.environ.get("CRUCIBLE_MXU_FETCH", "0").lower() not in (
+# masked sums on the VPU (see the fetch site below). Verified on v5e
+# (tools/tpu_bench.py mxufetch, r4): image sha256 IDENTICAL to the
+# masked-sum fetch and book1 400w/32spp/d50 went 8.43 -> 12.68 Mrays/s
+# (1.50x) — the fetch was 44 of ~77 VPU ops/(row,lane) and now rides the
+# otherwise-idle MXU. CRUCIBLE_MXU_FETCH=0 restores the masked sums.
+MXU_FETCH = _os.environ.get("CRUCIBLE_MXU_FETCH", "1").lower() not in (
     "0", "false", "off",
 )
 # The window's any-hit bits pack into ONE int32 word (1 << i per row); more

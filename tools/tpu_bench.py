@@ -741,23 +741,17 @@ def grad500(w=1920, h=1080, spp=500, depth=50, chunk=4):
     params = G.extract_params(sd, cp)
     pix = jnp.arange(w * h, dtype=jnp.uint32)
     target = jnp.zeros((w * h, 3), jnp.float32)
-    # Warm-up: compile the one chunk executable. sample0 MUST be passed as
-    # a traced uint32 exactly like loss_and_grad_accum does — a default
-    # Python-int sample0 traces a DIFFERENT executable and the first accum
-    # chunk then pays a fresh ~40 s compile inside the timed window.
-    l, g = G.loss_and_grad(
-        params, sd, cp, target, pix, jnp.uint32(0), sample0=jnp.uint32(0),
-        width=w, height=h, spp=chunk, max_depth=depth,
-    )
+    # Warm-up: compile the fused accumulation executable the loop reuses
+    # (one single-chunk accum — identical statics). An earlier warmup that
+    # compiled plain loss_and_grad leaked a ~40 s compile into the window.
+    akw = dict(width=w, height=h, spp=chunk, max_depth=depth, chunk_spp=chunk)
+    l, g = G.loss_and_grad_accum(params, sd, cp, target, pix, jnp.uint32(0), **akw)
     float(l)  # forced fetch: block_until_ready can no-op via the tunnel
-    # Per-chunk steady-state first (diagnoses accum-loop overhead vs the
-    # chunk itself): 3 pipelined chunks ended by a forced fetch.
+    # Per-chunk steady-state (diagnoses loop overhead vs the chunk itself).
     t0 = time.time()
     for i in range(3):
-        l, g = G.loss_and_grad(
-            params, sd, cp, target, pix, jnp.uint32(0),
-            sample0=jnp.uint32(4 * i), width=w, height=h, spp=chunk,
-            max_depth=depth,
+        l, g = G.loss_and_grad_accum(
+            params, sd, cp, target, pix, jnp.uint32(1 + i), **akw
         )
     float(l)
     log(
