@@ -676,16 +676,17 @@ def trace_persistent(
 def megakernel_supported(sd: SceneData, cp) -> bool:
     """Static predicate for the all-in-VMEM persistent megakernel
     (ops/pallas/megakernel.py): solid/checker textures, default-gradient
-    sky. Moving spheres and animated cameras (per-ray basis re-derivation
-    in-kernel) are supported; triangle meshes are supported when they carry
-    a BVH and are static (the in-kernel traversal reads static vertex
-    data), else the staged path handles them. Very large BVHs fall back:
-    node metadata lives in SMEM, capped at megakernel.MAX_TRI_NODES (raise
-    leaf_size to shrink the node count)."""
+    sky. Moving spheres, animated cameras (per-ray basis re-derivation
+    in-kernel), and — as of r4 — MOVING triangle meshes (linear shutter
+    vertex deltas lerped in the leaf test; the node bounds already union
+    the shutter endpoints) are supported; only exact per-ray-time scenes
+    fall back to the staged path. Very large BVHs fall back: node metadata
+    lives in SMEM, capped at megakernel.MAX_TRI_NODES (raise leaf_size to
+    shrink the node count)."""
     from crucible_tpu.ops.pallas.megakernel import MAX_TRI_NODES
 
     tris_ok = sd.num_tris == 0 or (
-        sd.use_bvh and not sd.animated and sd.bvh_min.shape[0] <= MAX_TRI_NODES
+        sd.use_bvh and sd.bvh_min.shape[0] <= MAX_TRI_NODES
     )
     return (
         len(sd.tex.images) == 0
@@ -706,12 +707,13 @@ def megakernel_record_supported(sd: SceneData, cp) -> bool:
     geometry + material scalars — so image textures, equirect skyboxes and
     nested checkers are all fine here; the decision records feed the jnp
     replay, whose XLA gathers handle the texel/sky lookups. Only the
-    geometry stage's limits remain: static BVH triangles (node count within
-    the SMEM cap), no exact per-ray timeline evaluation."""
+    geometry stage's limits remain: BVH triangles (static or linear-motion,
+    node count within the SMEM cap), no exact per-ray timeline
+    evaluation."""
     from crucible_tpu.ops.pallas.megakernel import MAX_TRI_NODES
 
     tris_ok = sd.num_tris == 0 or (
-        sd.use_bvh and not sd.animated and sd.bvh_min.shape[0] <= MAX_TRI_NODES
+        sd.use_bvh and sd.bvh_min.shape[0] <= MAX_TRI_NODES
     )
     return (
         tris_ok
@@ -722,20 +724,27 @@ def megakernel_record_supported(sd: SceneData, cp) -> bool:
 
 def make_tri_tables(sd: SceneData):
     """Assemble the megakernel triangle inputs from the scene arrays:
-    (tri_nodes (K,16), tris (M,16), mats (NM,24)) — layouts in
-    megakernel.run_megakernel's docstring. Tiny per-render gathers."""
+    (tri_nodes (K,16), tris (M,16) — or (M,32) for MOVING meshes, with
+    linear shutter deltas v0d/e1d/e2d in cols 16-24 — mats (NM,24)) —
+    layouts in megakernel.run_megakernel's docstring. Tiny per-render
+    gathers."""
     e1 = sd.tri_v1 - sd.tri_v0
     e2 = sd.tri_v2 - sd.tri_v0
     n = intersect.triangle_normal(sd.tri_v0, sd.tri_v1, sd.tri_v2)
     m = sd.tri_v0.shape[0]
-    tris = jnp.concatenate(
-        [
-            sd.tri_v0, e1, e2, n,
-            sd.tri_mat.astype(jnp.float32)[:, None],
-            jnp.zeros((m, 3), jnp.float32),
-        ],
-        axis=1,
-    )
+    cols = [
+        sd.tri_v0, e1, e2, n,
+        sd.tri_mat.astype(jnp.float32)[:, None],
+        jnp.zeros((m, 3), jnp.float32),
+    ]
+    if sd.tri_v0_d is not None:
+        cols += [
+            sd.tri_v0_d,
+            sd.tri_v1_d - sd.tri_v0_d,  # e1 delta
+            sd.tri_v2_d - sd.tri_v0_d,  # e2 delta
+            jnp.zeros((m, 7), jnp.float32),
+        ]
+    tris = jnp.concatenate(cols, axis=1)
     # Pad by one leaf of zero rows: the kernel's batched leaf test reads a
     # full tri_leaf block at any leaf start (zero rows fail det_ok).
     tris = jnp.pad(tris, ((0, sd.bvh_leaf_size), (0, 0)))

@@ -264,6 +264,7 @@ def _kernel(
     tri_leaf: int = 4,
     n_mats: int = 0,
     rec_depth: int = 0,
+    tri_moving: bool = False,
 ):
     rest = list(rest)
     cbounds_ref = rest.pop(0) if n_chunks else None
@@ -671,6 +672,18 @@ def _kernel(
 
                     e1x, e1y, e1z = bc(3), bc(4), bc(5)
                     e2x, e2y, e2z = bc(6), bc(7), bc(8)
+                    if tri_moving:
+                        # Linear shutter motion: vertices at the lane's
+                        # shutter fraction (same per-ray w stream as the
+                        # sphere motion columns; deltas in table cols
+                        # 16-24 — make_tri_tables). The lerped edges are
+                        # (L, T) instead of (L, 1).
+                        e1x = e1x + w_t * bc(19)
+                        e1y = e1y + w_t * bc(20)
+                        e1z = e1z + w_t * bc(21)
+                        e2x = e2x + w_t * bc(22)
+                        e2y = e2y + w_t * bc(23)
+                        e2z = e2z + w_t * bc(24)
                     pvx = dy * e2z - dz * e2y  # (L, T)
                     pvy = dz * e2x - dx * e2z
                     pvz = dx * e2y - dy * e2x
@@ -679,9 +692,14 @@ def _kernel(
                     invd = jnp.where(
                         det_ok, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0
                     )
-                    tvx = ox - bc(0)
-                    tvy = oy - bc(1)
-                    tvz = oz - bc(2)
+                    if tri_moving:
+                        tvx = ox - (bc(0) + w_t * bc(16))
+                        tvy = oy - (bc(1) + w_t * bc(17))
+                        tvz = oz - (bc(2) + w_t * bc(18))
+                    else:
+                        tvx = ox - bc(0)
+                        tvy = oy - bc(1)
+                        tvz = oz - bc(2)
                     uu = (tvx * pvx + tvy * pvy + tvz * pvz) * invd
                     qvx = tvy * e1z - tvz * e1y
                     qvy = tvz * e1x - tvx * e1z
@@ -712,16 +730,28 @@ def _kernel(
                     )
                     win = (rows == win_row) & better
 
-                    def pick(c, old):
-                        val = jnp.sum(
-                            jnp.where(win, bc(c), 0.0), axis=0, keepdims=True
+                    def pick_v(val, old):
+                        v = jnp.sum(
+                            jnp.where(win, val, 0.0), axis=0, keepdims=True
                         )
-                        return jnp.where(better, val, old)
+                        return jnp.where(better, v, old)
+
+                    def pick(c, old):
+                        return pick_v(bc(c), old)
 
                     tb2 = jnp.where(better, tmin, tb2)
-                    nx2 = pick(9, nx2)
-                    ny2 = pick(10, ny2)
-                    nz2 = pick(11, nz2)
+                    if tri_moving:
+                        # Geometric normal of the LERPED triangle: per-row
+                        # cross of the moved edges, winner-picked, then
+                        # normalized once post-traversal (the static table's
+                        # precomputed unit normal is stale under motion).
+                        nx2 = pick_v(e1y * e2z - e1z * e2y, nx2)
+                        ny2 = pick_v(e1z * e2x - e1x * e2z, ny2)
+                        nz2 = pick_v(e1x * e2y - e1y * e2x, nz2)
+                    else:
+                        nx2 = pick(9, nx2)
+                        ny2 = pick(10, ny2)
+                        nz2 = pick(11, nz2)
                     md2 = pick(12, md2)
                     if rec_depth:
                         tid_val = jnp.sum(
@@ -780,6 +810,12 @@ def _kernel(
                 _, tb, tnx, tny, tnz, tmid = jax.lax.while_loop(
                     trav_cond, trav_body, trav0
                 )
+            if tri_moving:
+                # Normalize the winner's lerped-edge cross (matches
+                # ops/intersect.triangle_normal: n / max(|n|, 1e-20)).
+                nlen = jnp.sqrt(tnx * tnx + tny * tny + tnz * tnz)
+                invn = 1.0 / jnp.maximum(nlen, 1e-20)
+                tnx, tny, tnz = tnx * invn, tny * invn, tnz * invn
             is_tri = tb < t  # strict: intersect_scene's tie rule
             t = tb
             hit = t[0:1, :] < BIG
@@ -1068,7 +1104,11 @@ def run_megakernel(
                 f"leaf_size in Scene.build or use the staged schedule"
             )
         n_mats = mats.shape[0]
-        assert tri_nodes.shape[1] == 16 and tris.shape[1] == 16
+        # Width 32 = MOVING mesh (linear shutter deltas in cols 16-24);
+        # inferred from the table shape, which is part of the jit key.
+        tri_w = tris.shape[1]
+        assert tri_nodes.shape[1] == 16 and tri_w in (16, 32)
+        assert tri_w == 16 or animated, "moving mesh requires animated"
         assert mats.shape[1] == 24
         assert tri_meta.shape == (3 * (n_tri_nodes + NODE_WIN),)
         extra_in += [_pad_tri_nodes(tri_nodes), tris, mats, tri_meta]
@@ -1079,7 +1119,8 @@ def run_megakernel(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (tris.shape[0], 16), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (tris.shape[0], tri_w), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((n_mats, 24), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1089,6 +1130,7 @@ def run_megakernel(
         _kernel, animated=animated, t_min=np.float32(t_min),
         n_chunks=n_chunks, cam_animated=cam_animated,
         n_tri_nodes=n_tri_nodes, tri_leaf=tri_leaf, n_mats=n_mats,
+        tri_moving=bool(tri_nodes is not None and tris.shape[1] == 32),
     )
     grid = (r // TILE,)
     (acc,) = pl.pallas_call(
@@ -1161,6 +1203,8 @@ def run_megakernel_record(
                 f"leaf_size in Scene.build or use the staged schedule"
             )
         n_mats = mats.shape[0]
+        tri_w = tris.shape[1]
+        assert tri_w in (16, 32) and (tri_w == 16 or animated)
         assert tri_meta.shape == (3 * (n_tri_nodes + NODE_WIN),)
         extra_in += [_pad_tri_nodes(tri_nodes), tris, mats, tri_meta]
         extra_specs += [
@@ -1170,7 +1214,8 @@ def run_megakernel_record(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (tris.shape[0], 16), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (tris.shape[0], tri_w), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((n_mats, 24), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1184,6 +1229,7 @@ def run_megakernel_record(
         n_chunks=0, cam_animated=cam_animated,
         n_tri_nodes=n_tri_nodes, tri_leaf=tri_leaf, n_mats=n_mats,
         rec_depth=max_depth,
+        tri_moving=bool(tri_nodes is not None and tris.shape[1] == 32),
     )
     grid = (r // TILE,)
     acc, rec = pl.pallas_call(

@@ -238,6 +238,31 @@ class TestRendererModes:
         )
         np.testing.assert_array_equal(np.asarray(plain), np.asarray(culled))
 
+    def test_megakernel_moving_mesh_matches_staged(self):
+        """MOVING triangle meshes in-kernel (r4): linear shutter vertex
+        deltas lerped in the leaf test (table cols 16-24), winner normal
+        from the lerped-edge cross. The moving_teapot demo must match the
+        staged reference statistically (triangle-edge ulp flips)."""
+        from crucible_tpu.models import render
+
+        sc = demo.moving_teapot(duration=5.0)
+        sd = sc.build(leaf_size=8)
+        cp = sc.scene_cam.params()
+        assert sd.animated and sd.tri_v0_d is not None
+        assert integrator.megakernel_supported(sd, cp)
+        w, h = 48, 27
+        acc = integrator.trace_persistent_mega(
+            sd, cp, w, h, jnp.uint32(2), 4, jnp.uint32(0), interpret=True
+        )
+        img = np.asarray(acc).reshape(h, w, 3) / 2.0
+        ref = np.asarray(
+            render.render_image_data(
+                sd, cp, w, h, samples=2, max_depth=4, seed=0, mode="tiled"
+            )
+        )
+        d = np.abs(img - ref)
+        assert d.mean() < 3e-3 and (d > 1e-3).mean() < 0.03, d.max()
+
     def test_megakernel_mxu_fetch_matches(self, monkeypatch):
         """The one-hot MXU winner fetch (CRUCIBLE_MXU_FETCH) must be
         bit-identical to the per-column masked sums. Interpret mode checks
