@@ -377,6 +377,33 @@ class TestRecordSchedule:
         assert integrator.megakernel_record_supported(sd, cp)
         assert replay_mod.replay_supported(sd)
 
+    def test_moving_mesh_mega_records_replay(self):
+        """Record-mode megakernel over a MOVING BVH mesh (r4: shutter
+        deltas lerped in-kernel): the replay over mega records must match
+        the staged forward statistically — proves the kernel's per-lane
+        shutter fractions and moved-edge MT agree with the jnp lerp."""
+        sc = demo.moving_teapot(duration=5.0)
+        sd = sc.build(leaf_size=8)
+        cp = sc.scene_cam.params()
+        assert integrator.megakernel_record_supported(sd, cp)
+        w, h, spp, depth = 32, 18, 2, 4
+        p = w * h
+        pix = jnp.tile(jnp.arange(p, dtype=jnp.uint32), spp)
+        smp = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), p)
+        seed = jnp.uint32(3)
+        rec = replay_mod.trace_record_mega(
+            sd, cp, w, h, pix, smp, seed, depth, interpret=True
+        )
+        o, d, _ = generate_rays(cp, w, h, pix, smp, seed)
+        rad = np.asarray(
+            replay_mod.trace_replay(sd, o, d, pix, smp, seed, depth, rec)
+        )
+        ref = np.asarray(
+            integrator.render_rays(sd, cp, w, h, pix, smp, seed, depth)
+        )
+        d_ = np.abs(rad - ref)
+        assert d_.mean() < 3e-3 and (d_ > 1e-3).mean() < 0.03, d_.max()
+
     def test_chunked_record_replay_sums(self):
         """Chunking the record+replay over samples equals one chunk."""
         from crucible_tpu.models import replay as R
