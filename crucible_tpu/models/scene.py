@@ -697,16 +697,6 @@ class Scene:
                 return ca, cb, ra, rb
             return s.center, s.center, s.radius, s.radius
 
-        def tri_geom(t: Triangle):
-            if animated and t.timelines is not None:
-                va, vb = [], []
-                for tl in t.timelines:
-                    va.append(tl.scale_at(t_open) * tl.position_at(t_open))
-                    vb.append(tl.scale_at(t_close) * tl.position_at(t_close))
-                return np.asarray(va), np.asarray(vb)
-            v = np.asarray([t.v0, t.v1, t.v2])
-            return v, v
-
         tables = _TableBuilder()
         spheres = [e for e in self.elements if isinstance(e, Sphere)]
         tris = [e for e in self.elements if isinstance(e, Triangle)]
@@ -735,9 +725,43 @@ class Scene:
         use_bvh = m > BVH_MIN_TRIS
         va_b = vb_b = None
         if m:
-            geo = [tri_geom(t) for t in vis_tris]
-            va = np.asarray([g[0] for g in geo], np.float32)  # (m, 3verts, 3)
-            vb = np.asarray([g[1] for g in geo], np.float32)
+            anim_idx = [
+                i for i, t in enumerate(vis_tris)
+                if animated and t.timelines is not None
+            ]
+            va = np.asarray(
+                [[t.v0, t.v1, t.v2] for t in vis_tris], np.float32
+            )  # (m, 3verts, 3)
+            if anim_idx:
+                # BATCH-evaluate all animated vertex timelines at shutter
+                # open/close with the vectorized NumPy track evaluators —
+                # per-vertex Python evaluation (tri_geom) cost ~2.2 s per
+                # movie frame on the 6,320-tri teapot (37,920 scalar
+                # timeline evals); this path is ~50x cheaper and the
+                # lowering itself is memoized on each timeline.
+                from crucible_tpu.models import timeline as tl_mod
+
+                tls = [tl for i in anim_idx for tl in vis_tris[i].timelines]
+                p0, p1, pd = tl_mod.pad_tracks(
+                    [tl.lower_translate() for tl in tls]
+                )
+                s0, s1, sf, sg = tl_mod.pad_scale_tracks(
+                    [tl.lower_scale() for tl in tls]
+                )
+                init = np.asarray([tl.init_pos for tl in tls], np.float64)
+                vb = va.copy()
+                pa = (
+                    tl_mod.eval_scale_np(s0, s1, sf, sg, t_open)
+                    * tl_mod.eval_translate_np(p0, p1, pd, init, t_open)
+                )
+                pb = (
+                    tl_mod.eval_scale_np(s0, s1, sf, sg, t_close)
+                    * tl_mod.eval_translate_np(p0, p1, pd, init, t_close)
+                )
+                va[anim_idx] = pa.reshape(-1, 3, 3).astype(np.float32)
+                vb[anim_idx] = pb.reshape(-1, 3, 3).astype(np.float32)
+            else:
+                vb = va
             v0, v1, v2 = va[:, 0], va[:, 1], va[:, 2]
             v0b, v1b, v2b = vb[:, 0], vb[:, 1], vb[:, 2]
             t_mat = np.asarray([tables.material(t.material) for t in vis_tris], np.int32)

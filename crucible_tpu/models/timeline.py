@@ -77,10 +77,25 @@ class TransformTimeline:
     init_scale: float = 1.0
     translate_keys: List[_TranslateKey] = field(default_factory=list)
     scale_keys: List[_ScaleKey] = field(default_factory=list)
+    # Memoized lowered tracks (frame-independent — only EVALUATION times
+    # change between movie frames; per-frame re-lowering of every vertex
+    # timeline dominated moving-mesh scene rebuilds before this cache).
+    _lowered: Optional[dict] = field(default=None, repr=False, compare=False)
+
+    def _dirty(self):
+        self._lowered = None
+
+    def _cache(self, key, fn):
+        if self._lowered is None:
+            self._lowered = {}
+        if key not in self._lowered:
+            self._lowered[key] = fn()
+        return self._lowered[key]
 
     # --- authoring (transform_builder.rs surface) -------------------------
     def _add_translate(self, axis: int, value, keyframe: float, interp: str, space: str):
         assert keyframe >= 0.0, "keyframes cannot be negative"
+        self._dirty()
         v = np.zeros(3, np.float64)
         if axis == AXIS_ALL:
             v[:] = value
@@ -103,15 +118,19 @@ class TransformTimeline:
         self._add_translate(AXIS_ALL, np.asarray(p, np.float64), keyframe, interp, space)
 
     def scale_x(self, f, keyframe, interp=LERP):
+        self._dirty()
         self.scale_keys.append(_ScaleKey(AXIS_X, float(f), float(keyframe), interp))
 
     def scale_y(self, f, keyframe, interp=LERP):
+        self._dirty()
         self.scale_keys.append(_ScaleKey(AXIS_Y, float(f), float(keyframe), interp))
 
     def scale_z(self, f, keyframe, interp=LERP):
+        self._dirty()
         self.scale_keys.append(_ScaleKey(AXIS_Z, float(f), float(keyframe), interp))
 
     def scale_uniform(self, f, keyframe, interp=LERP):
+        self._dirty()
         self.scale_keys.append(_ScaleKey(AXIS_ALL, float(f), float(keyframe), interp))
 
     # `scale_r` for spheres IS `scale_uniform` on the radius track.
@@ -123,6 +142,9 @@ class TransformTimeline:
 
     # --- lowering ----------------------------------------------------------
     def lower_translate(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        return self._cache("tr", self._lower_translate)
+
+    def _lower_translate(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """-> (t0 (K,), t1 (K,), delta (K,3)) ramp segments.
 
         position(t) = init_pos + sum_k delta_k * step_or_ramp(t; t0_k, t1_k).
@@ -161,6 +183,9 @@ class TransformTimeline:
         )
 
     def lower_scale(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        return self._cache("sc", self._lower_scale)
+
+    def _lower_scale(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """-> (t0 (K,), t1 (K,), from (K,3), to (K,3)) most-recent segments.
 
         scale(t) = lerp(from_k*, to_k*, ramp) for k* = last segment with
@@ -204,6 +229,9 @@ class TransformTimeline:
 
 
     def boundary_times(self) -> np.ndarray:
+        return self._cache("bt", self._boundary_times)
+
+    def _boundary_times(self) -> np.ndarray:
         """All segment boundary times (t0 and t1 of every lowered segment,
         init sentinels excluded) — the instants where the piecewise-linear
         trajectory changes slope. Used by scene.build to detect keyframes
@@ -321,6 +349,41 @@ def eval_scale_rows(t0, t1, sc_from, sc_to, t):
     s0 = jnp.take_along_axis(t0, k_star[:, None], axis=1)[:, 0]
     s1 = jnp.take_along_axis(t1, k_star[:, None], axis=1)[:, 0]
     return f + (g - f) * _ramp(t, s0, s1)[:, None]
+
+
+def eval_translate_np(t0, t1, delta, init_pos, t: float):
+    """Vectorized NumPy translate evaluation at ONE scalar time: (N, K)
+    padded tracks -> (N, 3). The host-side batch form of position_at —
+    per-timeline Python evaluation dominated moving-mesh movie rebuilds
+    (37,920 scalar evals/frame on the teapot)."""
+    t0 = np.asarray(t0, np.float64)
+    t1 = np.asarray(t1, np.float64)
+    span = t1 - t0
+    lin = (t - t0) / np.where(span > 0, span, 1.0)
+    step = (t >= t0).astype(np.float64)
+    r = np.clip(np.where(span > 0, lin, step), 0.0, 1.0)
+    return np.asarray(init_pos, np.float64) + (
+        r[..., None] * np.asarray(delta, np.float64)
+    ).sum(axis=-2)
+
+
+def eval_scale_np(t0, t1, sc_from, sc_to, t: float):
+    """Vectorized NumPy scale evaluation (most-recent segment) at ONE
+    scalar time: (N, K) padded tracks -> (N, 3)."""
+    t0 = np.asarray(t0, np.float64)
+    t1 = np.asarray(t1, np.float64)
+    mask = t >= t0  # (N, K); padding rows are +inf -> never selected
+    k = np.maximum(mask.sum(axis=-1) - 1, 0)
+    rows = np.arange(t0.shape[0])
+    s0 = t0[rows, k]
+    s1 = t1[rows, k]
+    span = s1 - s0
+    lin = (t - s0) / np.where(span > 0, span, 1.0)
+    step = (t >= s0).astype(np.float64)
+    r = np.clip(np.where(span > 0, lin, step), 0.0, 1.0)
+    f = np.asarray(sc_from, np.float64)[rows, k]
+    g = np.asarray(sc_to, np.float64)[rows, k]
+    return f + (g - f) * r[:, None]
 
 
 def pad_tracks(tracks, max_k: Optional[int] = None):
