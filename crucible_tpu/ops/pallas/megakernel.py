@@ -92,6 +92,12 @@ UNCOND_LEAVES = _os.environ.get("CRUCIBLE_UNCOND_LEAVES", "0").lower() not in (
 MXU_FETCH = _os.environ.get("CRUCIBLE_MXU_FETCH", "1").lower() not in (
     "0", "false", "off",
 )
+# Same contraction for the RECORD kernel's (smaller, 8-12 column) fetch —
+# separate gate: records feed gradients, so it stays off until the on-chip
+# record-bit-equality A/B (the exactness argument is identical).
+MXU_FETCH_REC = _os.environ.get("CRUCIBLE_MXU_FETCH_REC", "0").lower() not in (
+    "0", "false", "off",
+)
 # The window's any-hit bits pack into ONE int32 word (1 << i per row); more
 # than 31 rows would overflow the shift and corrupt traversal (ADVICE r2).
 assert NODE_WIN <= 31, "hit-mask packing holds at most 31 window rows"
@@ -454,7 +460,7 @@ def _kernel(
             )
             win = (rows == idx) & (t < BIG)  # exact one-hot (N, T)
             hit = t[0:1, :] < BIG
-            if MXU_FETCH and not rec_depth:
+            if (MXU_FETCH and not rec_depth) or (MXU_FETCH_REC and rec_depth):
                 # Winner fetch as ONE one-hot contraction on the (otherwise
                 # idle) MXU instead of 2*N VPU ops per column — the fetch
                 # was 44 of ~77 VPU ops/(row,lane) (BASELINE.md roofline).

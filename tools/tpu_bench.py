@@ -269,6 +269,45 @@ def mxufetch(width=400, spp=32, depth=50):
     )
 
 
+def mxurec(w=1920, h=1080, spp=4, depth=8):
+    """Record-kernel MXU-fetch A/B (CRUCIBLE_MXU_FETCH_REC, import-time):
+    one process per setting; logs record-pass seconds + records sha256 —
+    shas must be identical (records feed gradients)."""
+    import hashlib
+
+    from crucible_tpu.models import demo, replay
+    from crucible_tpu.ops.pallas import megakernel as mk
+
+    sc = demo.book1_end_scene(width=400)
+    sd = sc.build()
+    cp = sc.scene_cam.params()
+    pix = jnp.tile(jnp.arange(w * h, dtype=jnp.uint32), spp)
+    smp = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), w * h)
+    seed = jnp.uint32(1)
+    rec_f = jax.jit(
+        lambda sd_, cp_: replay.trace_record_mega(
+            sd_, cp_, w, h, pix, smp, seed, depth
+        )
+    )
+    rec = rec_f(sd, cp)
+    float(np.asarray(rec[0, 0]))
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        rec = rec_f(sd, cp)
+        float(np.asarray(rec[0, 0]))
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    # Full fetch once for the sha (off the timed path).
+    sha = hashlib.sha256(np.ascontiguousarray(np.asarray(rec))).hexdigest()[:16]
+    log(
+        bench=f"mxurec_{int(mk.MXU_FETCH_REC)}_d{depth}",
+        seconds=round(best, 3),
+        mrays_per_s=round(w * h * spp / best / 1e6, 2),
+        sha=sha,
+    )
+
+
 def teapot1(width=400, spp=32, depth=50):
     """ONE teapot megakernel point for the (leaf, NODE_WIN, MAX_LEAVES)
     joint sweep (VERDICT r3 #6). NODE_WIN/MAX_LEAVES are import-time env
@@ -953,4 +992,5 @@ if __name__ == "__main__":
         "gradprof50": gradprof50, "gradprof50b": gradprof50b,
         "golden": golden, "stress": stress, "gradprof50c": gradprof50c,
         "teapot1": teapot1, "mxufetch": mxufetch, "nestedx": nestedx,
+        "mxurec": mxurec,
     }[mode]()
