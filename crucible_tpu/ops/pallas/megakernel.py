@@ -92,10 +92,11 @@ UNCOND_LEAVES = _os.environ.get("CRUCIBLE_UNCOND_LEAVES", "0").lower() not in (
 MXU_FETCH = _os.environ.get("CRUCIBLE_MXU_FETCH", "1").lower() not in (
     "0", "false", "off",
 )
-# Same contraction for the RECORD kernel's (smaller, 8-12 column) fetch —
-# separate gate: records feed gradients, so it stays off until the on-chip
-# record-bit-equality A/B (the exactness argument is identical).
-MXU_FETCH_REC = _os.environ.get("CRUCIBLE_MXU_FETCH_REC", "0").lower() not in (
+# Same contraction for the RECORD kernel's (smaller, 8-12 column) fetch.
+# Verified on v5e (tools/tpu_bench.py mxurec, r4): records sha256
+# IDENTICAL, d8 record pass 0.516 -> 0.453 s (1.14x — fewer columns, so a
+# smaller win than the forward kernel's 1.50x).
+MXU_FETCH_REC = _os.environ.get("CRUCIBLE_MXU_FETCH_REC", "1").lower() not in (
     "0", "false", "off",
 )
 # The window's any-hit bits pack into ONE int32 word (1 << i per row); more
