@@ -138,6 +138,7 @@ def render_image_persistent(
     schedule: str = "auto",
     progress=None,
     cull: bool | None = None,
+    out_device: bool = False,
 ) -> np.ndarray:
     """Whole-image render in ONE device dispatch via the persistent
     wavefront. The production TPU path.
@@ -308,6 +309,11 @@ def render_image_persistent(
         if report is not None:
             jax.block_until_ready(fb)
             report(s1, samples, time.time() - t0)
+    if out_device:
+        # Async handle for pipelined consumers (render_movie overlaps the
+        # next frame's host-side scene rebuild with this dispatch): the
+        # caller fetches with np.asarray(fb).reshape(h, w, 3) / samples.
+        return fb
     return np.asarray(fb).reshape(height, width, 3) / np.float32(samples)
 
 
@@ -348,10 +354,16 @@ def render_image_data(
     rays_per_pass: int | None = None,
     verbose: bool = False,
     mode: str = "auto",
+    out_device: bool = False,
 ) -> np.ndarray:
     """Render driver. ``mode``: 'persistent' (one-dispatch wavefront with
     ray regeneration — default on accelerators), 'tiled' (lockstep tiles —
-    default on CPU, also the semantic reference), or 'auto'."""
+    default on CPU, also the semantic reference), or 'auto'.
+
+    ``out_device``: persistent mode may return the UNDIVIDED device
+    framebuffer (P, 3) instead of a fetched (H, W, 3) array — the async
+    handle render_movie pipelines on; tiled/record paths still return np
+    (H, W, 3), so callers must handle both (see render_movie.finish)."""
     if mode == "auto":
         mode = "persistent" if backend.on_accelerator() else "tiled"
     if mode == "persistent":
@@ -361,7 +373,7 @@ def render_image_data(
         # movie frame is silent for the whole render (VERDICT r2 weak #4).
         return render_image_persistent(
             sd, cp, width, height, samples, max_depth, seed,
-            progress=True if verbose else None,
+            progress=True if verbose else None, out_device=out_device,
         )
     rpp = rays_per_pass or default_rays_per_pass()
     num_pixels = width * height
@@ -455,18 +467,51 @@ def render_movie(
     pad = max(3, len(str(n_frames)))
     cam = scene.scene_cam
     cam.frame = 0
-    for fi in range(n_frames):
-        cam.frame = fi
-        frame_path = artifacts / f"image{fi:0{pad}d}.ppm"
-        if skip_existing and frame_path.exists():
-            continue
-        if verbose:
-            print(f"frame {fi + 1}/{n_frames}", file=sys.stderr)
-        t0 = time.time()
-        img = render_image(scene, verbose=False)
-        write_image(frame_path, to_u8(img))
-        if on_frame is not None:
-            on_frame(fi, time.time() - t0)
+
+    # PIPELINED frame loop: dispatch frame i (async device handle), then —
+    # while the device renders — fetch + quantize + write frame i-1 on a
+    # worker thread and rebuild scene i+1 on this thread. Movie frames
+    # were serialized build -> render -> PPM before (moving_teapot r4:
+    # 0.32 + 0.66 + 0.27 s); overlap hides the host work behind the
+    # device. ``on_frame(fi, seconds)`` reports dispatch-to-written time
+    # (includes overlap).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def finish(path, fb, h, w, spp, t0, fi):
+        img = np.asarray(fb)  # blocks until the device frame completes
+        if img.ndim != 3:
+            img = img.reshape(h, w, 3) / np.float32(spp)
+        write_image(path, to_u8(img))
+        return fi, time.time() - t0
+
+    pending = None
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        for fi in range(n_frames):
+            cam.frame = fi
+            frame_path = artifacts / f"image{fi:0{pad}d}.ppm"
+            if skip_existing and frame_path.exists():
+                continue
+            if verbose:
+                print(f"frame {fi + 1}/{n_frames}", file=sys.stderr)
+            t0 = time.time()
+            sd = scene.build()
+            cp = cam.params()
+            fb = render_image_data(
+                sd, cp, cam.image_width, cam.image_height, cam.samples,
+                cam.max_depth, scene.seed, verbose=False, out_device=True,
+            )
+            if pending is not None:
+                done_fi, dt = pending.result()
+                if on_frame is not None:
+                    on_frame(done_fi, dt)
+            pending = ex.submit(
+                finish, frame_path, fb, cam.image_height, cam.image_width,
+                cam.samples, t0, fi,
+            )
+        if pending is not None:
+            done_fi, dt = pending.result()
+            if on_frame is not None:
+                on_frame(done_fi, dt)
     return make_mp4(artifacts, out_dir / f"{out_dir.name}.mp4", fps, pad)
 
 
