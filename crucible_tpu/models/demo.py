@@ -306,6 +306,8 @@ WORLDS = {
     4: earth,
     5: garden_skybox,
     6: smoke_scene,
+    7: nested_checkers,  # r4 additions beyond the reference zoo
+    8: sphere_stress,
 }
 
 MOVIE_WORLDS = {
