@@ -732,18 +732,47 @@ def make_tri_tables(sd: SceneData):
     e2 = sd.tri_v2 - sd.tri_v0
     n = intersect.triangle_normal(sd.tri_v0, sd.tri_v1, sd.tri_v2)
     m = sd.tri_v0.shape[0]
-    cols = [
-        sd.tri_v0, e1, e2, n,
-        sd.tri_mat.astype(jnp.float32)[:, None],
-        jnp.zeros((m, 3), jnp.float32),
-    ]
-    if sd.tri_v0_d is not None:
-        cols += [
-            sd.tri_v0_d,
-            sd.tri_v1_d - sd.tri_v0_d,  # e1 delta
-            sd.tri_v2_d - sd.tri_v0_d,  # e2 delta
-            jnp.zeros((m, 7), jnp.float32),
+    from crucible_tpu.ops.pallas.megakernel import WOOP
+
+    if WOOP and sd.tri_v0_d is None:
+        # WOOP layout (static meshes): cols 0-11 = the affine world->unit-
+        # triangle transform (rows of M = [e1 e2 nu]^-1 and b = -M v0, with
+        # nu = e1 x e2 UNNORMALIZED so det = |nu|^2), cols 12-14 = unit
+        # normal, col 15 = mat id. The kernel's unit-triangle test
+        # (t = -o'_z/d'_z, u = o'_x + t d'_x, ...) replaces Moller-Trumbore
+        # with ~17% fewer VPU ops and no cross-product temporaries.
+        nu = jnp.cross(e1, e2)
+        det = jnp.sum(nu * nu, axis=-1, keepdims=True)
+        inv = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+        a0 = jnp.cross(e2, nu) * inv
+        a1 = jnp.cross(nu, e1) * inv
+        a2 = nu * inv
+        # Degenerate rows (det ~ 0): zero the transform -> d'_z == 0 ->
+        # the dz guard rejects, like MT's det_ok.
+        ok = (jnp.abs(det) > 1e-30).astype(jnp.float32)
+        a0, a1, a2 = a0 * ok, a1 * ok, a2 * ok
+        b = jnp.stack(
+            [
+                -jnp.sum(a0 * sd.tri_v0, axis=-1),
+                -jnp.sum(a1 * sd.tri_v0, axis=-1),
+                -jnp.sum(a2 * sd.tri_v0, axis=-1),
+            ],
+            axis=1,
+        )
+        cols = [a0, a1, a2, b, n, sd.tri_mat.astype(jnp.float32)[:, None]]
+    else:
+        cols = [
+            sd.tri_v0, e1, e2, n,
+            sd.tri_mat.astype(jnp.float32)[:, None],
+            jnp.zeros((m, 3), jnp.float32),
         ]
+        if sd.tri_v0_d is not None:
+            cols += [
+                sd.tri_v0_d,
+                sd.tri_v1_d - sd.tri_v0_d,  # e1 delta
+                sd.tri_v2_d - sd.tri_v0_d,  # e2 delta
+                jnp.zeros((m, 7), jnp.float32),
+            ]
     tris = jnp.concatenate(cols, axis=1)
     # Pad by one leaf of zero rows: the kernel's batched leaf test reads a
     # full tri_leaf block at any leaf start (zero rows fail det_ok).

@@ -77,6 +77,18 @@ NODE_WIN = int(_os.environ.get("CRUCIBLE_NODE_WIN", "16"))
 # 14.0 -> 7.8 (ml=2, win16) -> 5.6 (ml=3, win16).
 MAX_LEAVES = int(_os.environ.get("CRUCIBLE_MAX_LEAVES", "3"))
 
+# Unit-triangle (Woop-style) leaf test for STATIC meshes: the tris table
+# carries precomputed world->unit-triangle affine transforms (12 coeffs,
+# integrator.make_tri_tables) and the leaf test becomes
+# t = -o'_z/d'_z, u = o'_x + t d'_x, v = o'_y + t d'_y — ~17% fewer VPU
+# ops than Moller-Trumbore and no cross-product temporaries. Moving
+# meshes keep MT (the transform inverse does not lerp linearly).
+# Measured on v5e (r4): teapot 400w/32spp/d50 4.40 -> 4.88 Mrays/s
+# (+11%); all six real-chip goldens pass with identical stats.
+WOOP = _os.environ.get("CRUCIBLE_WOOP", "1").lower() not in (
+    "0", "false", "off",
+)
+
 # Execute every leaf slot unconditionally instead of cond-guarding each
 # taken leaf (see the traversal chase below).
 UNCOND_LEAVES = _os.environ.get("CRUCIBLE_UNCOND_LEAVES", "0").lower() not in (
@@ -677,6 +689,67 @@ def _kernel(
                     def bc(c):
                         return blk[:, c : c + 1]  # (L, 1)
 
+                    if WOOP and not tri_moving:
+                        # Unit-triangle test on the precomputed transform:
+                        # rows a0 (cols 0-2), a1 (3-5), a2 (6-8), b (9-11).
+                        dpz = bc(6) * dx + bc(7) * dy + bc(8) * dz
+                        dz_ok = jnp.abs(dpz) > 1e-12
+                        invdz = jnp.where(
+                            dz_ok, 1.0 / jnp.where(dpz == 0.0, 1.0, dpz), 0.0
+                        )
+                        opz = bc(6) * ox + bc(7) * oy + bc(8) * oz + bc(11)
+                        th = -opz * invdz
+                        opx = bc(0) * ox + bc(1) * oy + bc(2) * oz + bc(9)
+                        dpx = bc(0) * dx + bc(1) * dy + bc(2) * dz
+                        uu = opx + th * dpx
+                        opy = bc(3) * ox + bc(4) * oy + bc(5) * oz + bc(10)
+                        dpy = bc(3) * dx + bc(4) * dy + bc(5) * dz
+                        vv = opy + th * dpy
+                        rows = jax.lax.broadcasted_iota(
+                            jnp.int32, (tri_leaf, TILE), 0
+                        )
+                        ok = (
+                            dz_ok
+                            & (uu >= 0.0)
+                            & (vv >= 0.0)
+                            & (uu + vv <= 1.0)
+                            & (th > t_min)
+                            & (th < tb2)
+                            & bh
+                            & (rows < count)
+                        )
+                        th_m = jnp.where(ok, th, BIG)
+                        tmin = jnp.min(th_m, axis=0, keepdims=True)
+                        better = tmin < tb2
+                        win_row = jnp.min(
+                            jnp.where(th_m == tmin, rows, jnp.int32(2**30)),
+                            axis=0, keepdims=True,
+                        )
+                        win = (rows == win_row) & better
+
+                        def pickw(c, old):
+                            v = jnp.sum(
+                                jnp.where(win, bc(c), 0.0), axis=0,
+                                keepdims=True,
+                            )
+                            return jnp.where(better, v, old)
+
+                        tb2 = jnp.where(better, tmin, tb2)
+                        nx2 = pickw(12, nx2)  # WOOP layout: normal 12-14
+                        ny2 = pickw(13, ny2)
+                        nz2 = pickw(14, nz2)
+                        md2 = pickw(15, md2)  # mat id col 15
+                        if rec_depth:
+                            tid_val = jnp.sum(
+                                jnp.where(
+                                    win, (first + rows).astype(jnp.float32),
+                                    0.0,
+                                ),
+                                axis=0, keepdims=True,
+                            )
+                            ti2 = jnp.where(better, tid_val, ti2)
+                            return tb2, nx2, ny2, nz2, md2, ti2
+                        return tb2, nx2, ny2, nz2, md2
                     e1x, e1y, e1z = bc(3), bc(4), bc(5)
                     e2x, e2y, e2z = bc(6), bc(7), bc(8)
                     if tri_moving:

@@ -335,6 +335,7 @@ def teapot1(width=400, spp=32, depth=50):
         bench=(
             f"teapot1_leaf{leaf}_win{mk.NODE_WIN}_ml{mk.MAX_LEAVES}"
             + ("_uncond" if mk.UNCOND_LEAVES else "")
+            + ("_woop" if mk.WOOP else "")
         ),
         spp=spp, seconds=round(best, 3),
         mrays_per_s=round(w * h * spp / best / 1e6, 2),
@@ -721,10 +722,14 @@ def gradprof50c(w=1920, h=1080, spp=4, depth=50):
     kw = dict(width=w, height=h, spp=spp, max_depth=depth, method="replay")
 
     variants = (
-        ("h8d16", "8:1,0:16", "8"),         # current default
+        ("h8d16", "8:1,0:16", "8"),         # r4 sweep baseline
         ("h6d16", "6:1,0:16", "8"),         # shallower head
         ("h6d24", "6:1,0:24", "16"),        # + tighter tail/narrow record
         ("h8d24", "8:1,0:24", "16"),
+        ("h6d16r12", "6:1,0:16", "12"),     # shipped default
+        # Head 4 + a mid bucket ON the narrow record (compactions there are
+        # cheap): thin 1.27x narrow-record margin — measurement only.
+        ("h4m8d8", "4:1,8:8,0:16", "8"),
     )
     only = set(sys.argv[2:])  # resume a partial sweep: pass variant tags
     for tag, buckets, rdiv in variants:
