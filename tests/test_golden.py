@@ -100,7 +100,7 @@ def test_tpu_golden_file_honest():
     z = np.load(GOLDEN_TPU)
     assert sorted(z.files) == sorted(
         ["smoke_scene", "book1_end_scene", "checkered_spheres", "earth",
-         "load_teapot", "garden_skybox"]
+         "load_teapot", "garden_skybox", "sphere_stress", "nested_checkers"]
     )
     for name in z.files:
         assert z[name].shape[1] == 64 and z[name].shape[2] == 3, name

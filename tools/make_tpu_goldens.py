@@ -36,6 +36,10 @@ WORLDS = (
     ("earth", 64),
     ("load_teapot", 64),
     ("garden_skybox", 64),
+    # r4 additions: multi-tile sphere table (cull path) + deep nested
+    # checkers (record-schedule shading).
+    ("sphere_stress", 64),
+    ("nested_checkers", 64),
 )
 
 
