@@ -563,6 +563,21 @@ def _kernel(
                         jnp.int32, (CLUSTER, TILE), 0
                     ) + k * CLUSTER
                     win = (rk == idx) & hit
+                    if MXU_FETCH and not rec_depth:
+                        # Per-chunk one-hot contraction (same bit-exactness
+                        # argument as the brute branch; the FULL-table
+                        # contraction would not fit VMEM past ~4k rows).
+                        res = jax.lax.dot_general(
+                            table_ref[k * CLUSTER : (k + 1) * CLUSTER, :],
+                            jnp.where(win, 1.0, 0.0),
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )  # (32, T)
+                        return tuple(
+                            v + res[c : c + 1, :]
+                            for v, c in zip(vs, attr_cols)
+                        )
                     return tuple(
                         v + jnp.sum(jnp.where(win, colk(c), 0.0), axis=0,
                                     keepdims=True)
