@@ -680,17 +680,17 @@ def replay_split(
 # Depth-bucketed replay (the r4 deep-budget gradient path). Spec entries
 # are (depth_limit, width_divisor); the first bucket is the full-width head,
 # a limit of 0 stretches to max_depth. Divisor capacities carry the same
-# NaN-overflow-guard contract as replay_split (loud, never silently biased):
-# r/16 = 6.25% vs the 4.0% of book1 lanes alive past row 6 (1.56x margin —
-# tighter than r3's 5.7x, accepted because overflow is loud and the sweep
-# (gradprof50c) showed div 24's 1.04x margin is the next win; the unsplit
-# escape hatch is split=False / CRUCIBLE_GRAD_SPLIT=0).
-# TWO buckets measured fastest on v5e at 1080p x 4spp d50 — compaction
-# overhead beats lane-row savings: head-8 variants ran 1.337 s (8:1,0:16)
-# vs 1.458 (8:1,16:8,0:32) and 1.378 (4-bucket), r3 carry-handoff split
-# 2.099 s; shortening the head to 6 rows reached 1.67 s full-chunk
-# (gradprof50c_h6d16) against 1.94 for head 8.
-GRAD_BUCKET_SPEC = ((6, 1), (0, 16))
+# NaN-overflow-guard contract as replay_split (loud, never silently biased).
+# Shipped spec (gradprof50c sweep, book1 1080p x 4spp d50 full chunks):
+#   (6:1, 16:16, 0:32) = 1.531 s — the mid bucket compacts ON THE NARROW
+#   RECORD, so its extra compaction is cheap; margins 6.25%/3.3% (1.9x)
+#   and 3.1%/0.71% (4.4x) vs the depth histogram.
+# Sweep history: 2-bucket (6:1,0:16) 1.587-1.668; head-8 variants 1.94;
+# head-4 + mid 1.719 (shorter head loses); div-24 tails 1.51 but at a
+# 1.04x capacity margin (rejected); r3 carry-handoff split 2.099 on the
+# same records. Escape hatch for high-survivor scenes: split=False /
+# CRUCIBLE_GRAD_SPLIT=0; spec override CRUCIBLE_GRAD_BUCKETS.
+GRAD_BUCKET_SPEC = ((6, 1), (16, 16), (0, 32))
 
 
 def _bucket_spec(max_depth: int, spec=None):

@@ -730,6 +730,7 @@ def gradprof50c(w=1920, h=1080, spp=4, depth=50):
         # Head 4 + a mid bucket ON the narrow record (compactions there are
         # cheap): thin 1.27x narrow-record margin — measurement only.
         ("h4m8d8", "4:1,8:8,0:16", "8"),
+        ("h6m16d12", "6:1,16:16,0:32", "12"),
     )
     only = set(sys.argv[2:])  # resume a partial sweep: pass variant tags
     for tag, buckets, rdiv in variants:
