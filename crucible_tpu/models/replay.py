@@ -831,6 +831,8 @@ def record_two_level(
     Returns (rec_h (head, R), rec_n (max_depth, r_n), idx_n (r_n,) lane
     ids, valid_n (r_n,) slot-filled mask, n_deep scalar). Overflow past
     r_n is detected by the caller via n_deep (NaN-poisoned downstream).
+    The ``CRUCIBLE_RECORD_DEEP_DIV`` env var overrides ``div`` when set
+    (the sweep/test knob — note it wins over an explicit argument).
     """
     import os
 
