@@ -64,7 +64,6 @@ def render_image_sharded_mega(
     Requires ``integrator.megakernel_supported(sd, cp)``; falls back to
     :func:`render_image_sharded` otherwise.
     """
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     if mesh is None:
@@ -101,12 +100,12 @@ def render_image_sharded_mega(
         return fb
 
     axes = (mesh_mod.DP_AXIS, mesh_mod.SP_AXIS)
-    fn = shard_map(
+    fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P(), P(axes), P(), P()),
         out_specs=P(axes),
-        check_rep=False,
+        check_vma=False,
     )
     fb = jax.jit(fn)(sd, cp, row0s, jnp.uint32(spp), seed_v)
     img = np.asarray(fb)[: w * h].reshape(h, w, 3) / np.float32(spp)

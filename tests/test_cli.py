@@ -69,6 +69,77 @@ class TestCli:
         )
         assert calls2 == []
 
+    def test_make_mp4_argv(self, tmp_path, monkeypatch):
+        """make_mp4 shells out with the exact ffmpeg argv mirroring the
+        reference's movie_maker.rs:11-30 (pattern, framerate, even-scale
+        filter, libx264, yuv420p, crf 25). ffmpeg is absent from CI images,
+        so a recording stub on PATH captures the argv (VERDICT r4 #8)."""
+        import json
+        import os
+        import stat
+
+        from crucible_tpu.models.render import make_mp4
+
+        bindir = tmp_path / "bin"
+        bindir.mkdir()
+        rec = tmp_path / "argv.json"
+        stub = bindir / "ffmpeg"
+        stub.write_text(
+            "#!/bin/sh\n"
+            'python3 -c "import json,sys; '
+            "json.dump(sys.argv[1:], open('%s','w'))\" \"$@\"\n" % rec
+        )
+        stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+        monkeypatch.setenv("PATH", f"{bindir}{os.pathsep}{os.environ['PATH']}")
+
+        artifacts = tmp_path / "mv" / "artifacts"
+        artifacts.mkdir(parents=True)
+        out = tmp_path / "mv" / "mv.mp4"
+        ret = make_mp4(artifacts, out, fps=24, pad=3)
+        assert ret == out
+        argv = json.loads(rec.read_text())
+        assert argv == [
+            "-y",
+            "-framerate", "24",
+            "-i", str(artifacts / "image%03d.ppm"),
+            "-vf", "scale=trunc(iw/2)*2:trunc(ih/2)*2",
+            "-c:v", "libx264",
+            "-pix_fmt", "yuv420p",
+            "-crf", "25",
+            str(out),
+        ]
+
+    def test_render_movie_invokes_ffmpeg_stub(self, tmp_path, monkeypatch):
+        """End-to-end: render_movie ends by invoking ffmpeg with the frame
+        pattern matching the frames it just wrote."""
+        import os
+        import stat
+
+        from crucible_tpu.models import demo, render
+
+        bindir = tmp_path / "bin"
+        bindir.mkdir()
+        rec = tmp_path / "argv.txt"
+        stub = bindir / "ffmpeg"
+        stub.write_text(f"#!/bin/sh\nprintf '%s\\n' \"$@\" > {rec}\n")
+        stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+        monkeypatch.setenv("PATH", f"{bindir}{os.pathsep}{os.environ['PATH']}")
+
+        sc = demo.first_movie(duration=0.5, frame_rate=4)
+        sc.scene_cam.image_width = 16
+        sc.scene_cam.set_samples(1)
+        sc.scene_cam.set_max_depth(2)
+        out = render.render_movie(sc, str(tmp_path / "mv3"), verbose=False)
+        assert out == tmp_path / "mv3" / "mv3.mp4"
+        argv = rec.read_text().splitlines()
+        pattern = argv[argv.index("-i") + 1]
+        import glob
+
+        frames = sorted(glob.glob(str(tmp_path / "mv3" / "artifacts" / "image*.ppm")))
+        assert len(frames) == 2
+        # The ffmpeg input pattern expands to exactly the written frames.
+        assert [pattern % i for i in range(2)] == frames
+
     def test_threads_flag_accepted(self, tmp_path):
         # Reference parity: --threads exists; ignored here (mesh sharding).
         rc = main(
