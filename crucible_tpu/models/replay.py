@@ -288,6 +288,20 @@ def trace_record_mega(
     return rec[:, :r]
 
 
+def _replay_kernel_mode() -> str:
+    """'on' / 'off' / 'auto' from CRUCIBLE_REPLAY_KERNEL (default auto =
+    in-Pallas replay on accelerators, jnp replay on CPU — the interpret-mode
+    kernel is too slow to default to; tests opt in explicitly)."""
+    import os
+
+    v = os.environ.get("CRUCIBLE_REPLAY_KERNEL", "auto").lower()
+    if v in ("1", "on", "true"):
+        return "on"
+    if v in ("0", "off", "false"):
+        return "off"
+    return "auto"
+
+
 def trace_replay(
     sd: SceneData,
     o,
@@ -302,6 +316,7 @@ def trace_replay(
     thr_in=None,
     return_carry: bool = False,
     accum_from: int = 0,
+    thr_mask=None,
 ):
     """Differentiable O(R * depth) replay of recorded decisions -> (R, 3).
 
@@ -322,7 +337,34 @@ def trace_replay(
     path carry (origin/direction/throughput) but add NOTHING to radiance —
     the depth-bucketed replay re-walks a lane's head rows from the primary
     ray instead of gathering float carries across a compaction boundary
-    (see :func:`replay_bucketed`)."""
+    (see :func:`replay_bucketed`).
+
+    ``thr_mask``: (R,) bool — asserts that ``thr_in`` is exactly
+    ``where(thr_mask, 1, 0)`` (the bucketed callers' contract), which makes
+    the call eligible for the in-Pallas replay kernel
+    (ops/pallas/replay_kernel.py): VMEM-resident table fetch + hand-written
+    backward, the r5 deep-gradient lever. Radiance agrees with the jnp
+    replay to f32/FMA association (CLAUDE.md: exact pallas-vs-XLA
+    bit-matching is impossible); decisions are identical (frozen records).
+    """
+    from crucible_tpu.ops.pallas import replay_kernel as _rk
+
+    mode = _replay_kernel_mode()
+    if (
+        mode != "off"
+        and not early_exit
+        and not return_carry
+        and bounce0 == 0
+        and (thr_in is None or thr_mask is not None)
+        and _rk.supported(sd, int(sd.sph_center.shape[0]))
+        and (mode == "on" or backend.on_accelerator())
+    ):
+        table = integrator.make_sphere_table(sd)
+        return _rk.trace_replay_mega(
+            table, o, d, pixel_ids, sample_ids, seed, rec[:max_depth],
+            accum_from=accum_from, valid=thr_mask,
+            interpret=backend.pallas_interpret(),
+        )
     r = o.shape[0]
     table = integrator.make_sphere_table(sd)  # (N, 32), differentiable
     if sd.num_tris > 0:
@@ -795,7 +837,7 @@ def replay_bucketed(
             rad_b = trace_replay(
                 sd, o_b, d_b, pix_b, smp_b, seed, dj,
                 jnp.take(rec[:dj], idx, axis=1),
-                thr_in=thr0, accum_from=d0,
+                thr_in=thr0, accum_from=d0, thr_mask=valid,
             )
             rad = rad.at[idx].add(
                 jnp.where(valid[:, None], rad_b, 0.0), mode="drop"
@@ -935,7 +977,7 @@ def replay_bucketed_2l(
             rad_b = trace_replay(
                 sd, o_b, d_b, pix_b, smp_b, seed, dj,
                 jnp.take(rec_n[:dj], idx_b, axis=1),
-                thr_in=thr0, accum_from=head,
+                thr_in=thr0, accum_from=head, thr_mask=valid_b,
             )
             rad = rad.at[lane_b].add(
                 jnp.where(valid_b[:, None], rad_b, 0.0), mode="drop"

@@ -829,3 +829,201 @@ class TestTailOverflowGuard:
         np.testing.assert_allclose(
             np.asarray(rad_fwd), np.asarray(ref), rtol=1e-6, atol=1e-7
         )
+
+
+class TestReplayKernel:
+    """In-Pallas replay step (ops/pallas/replay_kernel.py): the r5
+    deep-gradient lever. Forward radiance must match the jnp replay (to
+    f32/FMA association — CLAUDE.md: exact pallas-vs-XLA bit-matching is
+    impossible, and sqrt at near-tangent discriminants amplifies it);
+    the HAND-WRITTEN backward must match plain autodiff through the
+    identical per-bounce math tightly (that comparison shares the
+    association, so it isolates the custom-vjp wiring)."""
+
+    def _setup(self, depth=8, r=1024 + 128, width=64):
+        sc = demo.book1_end_scene(width=width)
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        h = sc.scene_cam.image_height
+        pix = jnp.arange(r, dtype=jnp.uint32) % (width * h)
+        smp = jnp.zeros((r,), jnp.uint32)
+        seed = jnp.uint32(7)
+        o, d, _ = generate_rays(cp, width, h, pix, smp, seed)
+        rec = replay_mod.trace_record(sd, o, d, pix, smp, seed, depth)
+        table = integrator.make_sphere_table(sd)
+        return sd, table, o, d, pix, smp, seed, rec
+
+    def test_supported_predicates(self):
+        from crucible_tpu.ops.pallas import replay_kernel as rk
+
+        assert rk.supported(demo.book1_end_scene(width=32).build(), 512)
+        assert not rk.supported(demo.earth(width=32).build(), 512)  # images
+        assert not rk.supported(demo.load_teapot(width=32).build(), 512)
+        sc = demo.smoke_scene(width=32)
+        from crucible_tpu.models.timeline import LERP, WORLD
+
+        sc.translate_x(0.6, 1.0, LERP, WORLD, "ball")
+        sc.scene_cam.frame = 6
+        assert not rk.supported(sc.build(), 512)  # animated
+        assert not rk.supported(
+            demo.book1_end_scene(width=32).build(), 4096
+        )  # table too large for the (N, TILE) one-hot
+
+    def test_forward_matches_jnp_replay(self):
+        from crucible_tpu.ops.pallas import replay_kernel as rk
+
+        sd, table, o, d, pix, smp, seed, rec = self._setup()
+        ref = np.asarray(
+            replay_mod.trace_replay(sd, o, d, pix, smp, seed, 8, rec)
+        )
+        got = np.asarray(
+            rk.trace_replay_mega(
+                table, o, d, pix, smp, seed, rec, interpret=True
+            )
+        )
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got.mean(0), ref.mean(0), rtol=1e-3, atol=1e-3)
+        close = np.isclose(got, ref, rtol=1e-3, atol=1e-3).all(axis=-1)
+        assert close.mean() > 0.98, f"only {close.mean():.3f} lanes match"
+
+    def test_backward_matches_identical_math_autodiff(self):
+        """Kernel cotangents vs jax.grad through a pure-jnp loop over the
+        SAME `_bounce` + exact row gathers — isolates the hand-written
+        backward (phase-1 checkpointing, reverse vjp sweep, one-hot table
+        cotangent) from association noise."""
+        from crucible_tpu.ops.pallas import replay_kernel as rk
+        from crucible_tpu.utils import rng as crng
+
+        depth = 6
+        sd, table, o, d, pix, smp, seed, rec = self._setup(depth=depth, r=1024)
+        r = o.shape[0]
+        wgt = jnp.asarray(
+            np.random.default_rng(0).standard_normal((r, 3)), jnp.float32
+        )
+
+        def pure_loop(table, o, d):
+            carry = tuple(
+                x[None, :]
+                for x in (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2])
+            )
+            ones = jnp.ones((1, r), jnp.float32)
+            carry = carry + (ones, ones, ones)
+            acc = [jnp.zeros((1, r), jnp.float32)] * 3
+            for it in range(depth):
+                dec = rk._decode(rec[it][None, :])
+                srow = jnp.take(table, dec["idx"][0], axis=0).T
+                u1, u2, ud = crng.uniform3(pix, smp, jnp.uint32(3 + it), seed)
+                carry, (dr, dg, db) = rk._bounce(
+                    carry, srow, dec, u1[None, :], u2[None, :], ud[None, :],
+                    True,
+                )
+                acc = [acc[0] + dr, acc[1] + dg, acc[2] + db]
+            return jnp.stack([acc[0][0], acc[1][0], acc[2][0]], axis=1)
+
+        def loss_pure(table, o, d):
+            return jnp.sum(pure_loop(table, o, d) * wgt)
+
+        def loss_kernel(table, o, d):
+            rad = rk.trace_replay_mega(
+                table, o, d, pix, smp, seed, rec, interpret=True
+            )
+            return jnp.sum(rad * wgt)
+
+        lp, gp = jax.value_and_grad(loss_pure, argnums=(0, 1, 2))(table, o, d)
+        lk, gk = jax.value_and_grad(loss_kernel, argnums=(0, 1, 2))(table, o, d)
+        assert float(lp) == pytest.approx(float(lk), rel=1e-3)
+        for name, a, b in zip(
+            ("g_table", "g_o", "g_d"), gk, gp
+        ):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.isfinite(a).all(), name
+            scale = max(float(np.abs(b).max()), 1e-6)
+            nd = np.abs(a - b) / scale
+            # Near-tangent lanes (disc ~ 0) amplify 1-ulp association
+            # differences through d(sqrt)/d(disc) into O(1) relative
+            # gradient noise — both values are valid subgradients of
+            # slightly different f32 functions. Require the bulk tight
+            # and bound the outlier tail.
+            frac = float((nd > 2e-4).mean())
+            # Per-lane cotangents (g_o, g_d) concentrate the silhouette
+            # noise one-lane-per-entry; the table cotangent averages it.
+            cap = 0.005 if name == "g_table" else 0.02
+            assert frac < cap, f"{name}: {frac:.4f} outlier fraction"
+            assert float(nd.max()) < 0.1, f"{name}: max {nd.max():.4f}"
+
+    def test_accum_from_and_valid_mask(self):
+        """Bucket semantics: head rows below accum_from update the carry
+        only; invalid lanes replay to exactly zero (value AND cotangent)."""
+        from crucible_tpu.ops.pallas import replay_kernel as rk
+
+        depth = 6
+        sd, table, o, d, pix, smp, seed, rec = self._setup(depth=depth, r=1024)
+        r = o.shape[0]
+        valid = jnp.arange(r) % 3 != 0
+        thr0 = jnp.where(valid[:, None], jnp.ones((r, 3), jnp.float32), 0.0)
+        ref = np.asarray(
+            replay_mod.trace_replay(
+                sd, o, d, pix, smp, seed, depth, rec,
+                thr_in=thr0, accum_from=3,
+            )
+        )
+        got = np.asarray(
+            rk.trace_replay_mega(
+                table, o, d, pix, smp, seed, rec,
+                accum_from=3, valid=valid, interpret=True,
+            )
+        )
+        v = np.asarray(valid)
+        assert (got[~v] == 0).all() and (ref[~v] == 0).all()
+        np.testing.assert_allclose(
+            got[v].mean(0), ref[v].mean(0), rtol=1e-3, atol=1e-3
+        )
+        g = jax.grad(
+            lambda t: jnp.sum(
+                rk.trace_replay_mega(
+                    t, o, d, pix, smp, seed, rec,
+                    accum_from=3, valid=valid, interpret=True,
+                )
+            )
+        )(table)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_loss_and_grad_routing_on_off(self, monkeypatch):
+        """End-to-end loss_and_grad with the kernel forced on equals the
+        jnp replay to estimator tolerance, and routing honors the env."""
+        sc = demo.book1_end_scene(width=48)
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        w, h = 48, sc.scene_cam.image_height
+        pix = jnp.arange(w * h, dtype=jnp.uint32)
+        target = jnp.zeros((w * h, 3), jnp.float32)
+        params = G.extract_params(sd, cp)
+        kw = dict(width=w, height=h, spp=2, max_depth=16)
+
+        monkeypatch.setenv("CRUCIBLE_REPLAY_KERNEL", "0")
+        jax.clear_caches()
+        l0, g0 = G.loss_and_grad(
+            params, sd, cp, target, pix, jnp.uint32(3), **kw
+        )
+        monkeypatch.setenv("CRUCIBLE_REPLAY_KERNEL", "1")
+        jax.clear_caches()
+        l1, g1 = G.loss_and_grad(
+            params, sd, cp, target, pix, jnp.uint32(3), **kw
+        )
+        jax.clear_caches()
+        assert float(l0) == pytest.approx(float(l1), rel=1e-3)
+        for key in ("mat_emission", "tex_color"):
+            a, b = np.asarray(g0[key]), np.asarray(g1[key])
+            scale = max(float(np.abs(a).max()), 1e-6)
+            np.testing.assert_allclose(
+                b / scale, a / scale, rtol=0, atol=5e-3, err_msg=key
+            )
+
+    def test_fd_albedo_with_kernel(self, monkeypatch):
+        """The standard FD acceptance passes through the kernel path."""
+        monkeypatch.setenv("CRUCIBLE_REPLAY_KERNEL", "1")
+        jax.clear_caches()
+        try:
+            _fd_vs_grad(demo.smoke_scene(width=32), "tex_color")
+        finally:
+            jax.clear_caches()
