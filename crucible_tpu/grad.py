@@ -74,6 +74,9 @@ def render_pixels_mean(
     method: str = "auto",
     sample0=0,
     rec=None,
+    grad_spec=None,
+    grad_record_div: int | None = None,
+    grad_split: bool | None = None,
 ):
     """Per-pixel mean radiance (P, 3) for the given pixels, differentiable
     w.r.t. ``params``.
@@ -116,6 +119,7 @@ def render_pixels_mean(
         rad = replay_mod.render_rays_replay(
             sd, cp, width, height, pix, smp, seed, max_depth,
             use_pallas=backend.on_accelerator(), rec=rec,
+            split=grad_split, spec=grad_spec, record_div=grad_record_div,
         )
     else:
         rad = integrator.render_rays(
@@ -170,12 +174,17 @@ def record_decisions(
     )
 
 
-@partial(
-    jax.jit, static_argnames=("width", "height", "spp", "max_depth", "method")
+_L2_STATICS = (
+    "width", "height", "spp", "max_depth", "method",
+    "grad_spec", "grad_record_div", "grad_split",
 )
+
+
+@partial(jax.jit, static_argnames=_L2_STATICS)
 def l2_loss(
     params, sd, cp, target, pixel_ids, seed,
     *, width, height, spp, max_depth, method="auto", sample0=0, rec=None,
+    grad_spec=None, grad_record_div=None, grad_split=None,
 ):
     """Mean squared error against target pixel radiances.
 
@@ -183,19 +192,97 @@ def l2_loss(
     :func:`loss_and_grad_accum`'s sample-chunked gradient accumulation.
     ``rec``: precomputed decision records (:func:`record_decisions`) for
     frozen-decision steps; decisions then stay fixed while radiometric
-    params move.
+    params move. ``grad_spec``/``grad_record_div``/``grad_split``: static
+    deep-replay capacity overrides (the overflow-recovery ladder).
     """
     img = render_pixels_mean(
         params, sd, cp, pixel_ids, width, height, spp, max_depth, seed,
         method=method, sample0=sample0, rec=rec,
+        grad_spec=grad_spec, grad_record_div=grad_record_div,
+        grad_split=grad_split,
     )
     return jnp.mean((img - target) ** 2)
 
 
 loss_and_grad = jax.jit(
-    jax.value_and_grad(l2_loss),
-    static_argnames=("width", "height", "spp", "max_depth", "method"),
+    jax.value_and_grad(l2_loss), static_argnames=_L2_STATICS
 )
+
+
+# Capacity-overflow recovery ladder: each rung recompiles the chunk with
+# wider static capacities. Rung 0 = the defaults; widen k halves every
+# bucket divisor and the narrow-record divisor by k (doubling capacities);
+# the last rung abandons lane-narrowing entirely (always correct, the
+# memory-heaviest). The reference panics on contract violations
+# (src/utils.rs:346-351); here the guards NaN-poison loudly and THIS ladder
+# is the recovery the reference never had.
+_RECOVERY_LADDER = ("default", 2, 4, "unsplit")
+
+
+def _ladder_kwargs(rung):
+    from crucible_tpu.models import replay as replay_mod
+
+    if rung == "default":
+        return {}
+    if rung == "unsplit":
+        return {"grad_split": False}
+    spec = tuple(
+        (lim, max(1, dv // rung)) for lim, dv in replay_mod.GRAD_BUCKET_SPEC
+    )
+    div = max(1, replay_mod.RECORD_DEEP_DIV // rung)
+    return {"grad_spec": spec, "grad_record_div": div}
+
+
+def loss_and_grad_recovering(
+    params, sd, cp, target, pixel_ids, seed,
+    *, width, height, spp, max_depth, method="auto", sample0=0, rec=None,
+    verbose=True, start=0,
+):
+    """:func:`loss_and_grad` with automatic capacity-overflow recovery.
+
+    The deep-gradient path's static lane-narrowing capacities NaN-poison
+    loudly when a scene's survivor fraction exceeds them
+    (models/replay.py) — correct, but it used to kill long training runs
+    at chunk N with only env knobs as the escape hatch (VERDICT r4 #4).
+    This wrapper detects the poisoned chunk (non-finite loss) and retries
+    it up the ladder: doubled capacities (x2, x4), then the unsplit
+    full-width replay. Each retry recompiles once and is logged loudly;
+    if even the unsplit replay is non-finite the NaN is NOT a capacity
+    overflow and an actionable error names the knobs.
+    """
+    import sys
+
+    for i, rung in enumerate(_RECOVERY_LADDER[start:]):
+        kw = _ladder_kwargs(rung)
+        loss, g = loss_and_grad(
+            params, sd, cp, target, pixel_ids, seed,
+            width=width, height=height, spp=spp, max_depth=max_depth,
+            method=method, sample0=sample0, rec=rec, **kw,
+        )
+        if bool(np.isfinite(float(loss))):
+            if i and verbose:
+                print(
+                    f"crucible_tpu: recovered from deep-replay capacity "
+                    f"overflow at ladder rung {rung!r} ({kw}) — consider "
+                    f"setting CRUCIBLE_GRAD_BUCKETS/CRUCIBLE_RECORD_DEEP_DIV "
+                    f"or split=False permanently for this scene",
+                    file=sys.stderr,
+                )
+            return loss, g
+        if verbose:
+            print(
+                f"crucible_tpu: WARNING: non-finite chunk loss at ladder "
+                f"rung {rung!r} (sample0={int(np.asarray(sample0))}) — "
+                f"retrying with wider deep-replay capacities",
+                file=sys.stderr,
+            )
+    raise FloatingPointError(
+        "loss is non-finite even with the full-width (unsplit) replay — "
+        "this is NOT a lane-narrowing capacity overflow. Check scene "
+        "parameters for NaN sources (negative radii, zero-length camera "
+        "axes); the capacity knobs (CRUCIBLE_GRAD_BUCKETS, "
+        "CRUCIBLE_RECORD_DEEP_DIV, split=) cannot help here."
+    )
 
 
 @partial(
@@ -220,9 +307,18 @@ def _accum_chunk(
     return loss_sum + loss, total
 
 
+@partial(jax.jit, donate_argnums=(0, 1))
+def _fold_chunk(total, loss_sum, g, loss):
+    """Fold one checked chunk gradient into the running sums (ONE
+    dispatch; the donated buffers keep accumulation allocation-free)."""
+    total = jax.tree_util.tree_map(lambda a, b: a + b, total, g)
+    return total, loss_sum + loss
+
+
 def loss_and_grad_accum(
     params, sd, cp, target, pixel_ids, seed,
     *, width, height, spp, max_depth, chunk_spp, method="auto",
+    recover=True,
 ):
     """Sample-chunked gradient accumulation: averages ``spp / chunk_spp``
     minibatch (chunk-loss) gradients, each from an independent sample
@@ -240,6 +336,14 @@ def loss_and_grad_accum(
     independent; parameters that modulate variance (fuzz/roughness) feel
     an extra variance-reducing pull, as in any minibatch MC objective
     (ADVICE r3).
+
+    ``recover=True`` (default) checks each chunk's loss for the deep
+    replay's NaN capacity poison and re-runs only the poisoned chunk up
+    the recovery ladder (:func:`loss_and_grad_recovering`) — the check is
+    LAG-1 pipelined (chunk k+1 is dispatched before chunk k's scalar loss
+    is fetched) so the device never idles on the tunnel round-trip.
+    ``recover=False`` keeps the r4 fully-fused accumulation (zero
+    per-chunk host syncs, no recovery).
     """
     assert spp % chunk_spp == 0, (spp, chunk_spp)
     n = spp // chunk_spp
@@ -249,22 +353,79 @@ def loss_and_grad_accum(
     )
     total = jax.tree_util.tree_map(jnp.zeros_like, params)
     loss_sum = jnp.float32(0.0)
-    for s0 in range(0, spp, chunk_spp):
-        loss_sum, total = _accum_chunk(
-            params, sd, cp, target, pixel_ids, seed, jnp.uint32(s0),
-            total, loss_sum, **kw,
+    if not recover:
+        for s0 in range(0, spp, chunk_spp):
+            loss_sum, total = _accum_chunk(
+                params, sd, cp, target, pixel_ids, seed, jnp.uint32(s0),
+                total, loss_sum, **kw,
+            )
+        inv = 1.0 / n
+        return loss_sum * inv, jax.tree_util.tree_map(
+            lambda a: a * inv, total
         )
+
+    def fold(pending, total, loss_sum):
+        s0, loss_c, g_c = pending
+        if not bool(np.isfinite(float(loss_c))):
+            import sys
+
+            print(
+                f"crucible_tpu: WARNING: chunk sample0={s0} NaN-poisoned "
+                f"(deep-replay capacity overflow) — recovering",
+                file=sys.stderr,
+            )
+            loss_c, g_c = loss_and_grad_recovering(
+                params, sd, cp, target, pixel_ids, seed,
+                sample0=jnp.uint32(s0), start=1, **kw,
+            )
+        return _fold_chunk(total, loss_sum, g_c, loss_c)
+
+    pending = None
+    for s0 in range(0, spp, chunk_spp):
+        loss_c, g_c = loss_and_grad(
+            params, sd, cp, target, pixel_ids, seed,
+            sample0=jnp.uint32(s0), **kw,
+        )
+        if pending is not None:
+            total, loss_sum = fold(pending, total, loss_sum)
+        pending = (s0, loss_c, g_c)
+    total, loss_sum = fold(pending, total, loss_sum)
     inv = 1.0 / n
     return loss_sum * inv, jax.tree_util.tree_map(lambda a: a * inv, total)
 
 
-def make_train_step(optimizer, width: int, height: int, spp: int, max_depth: int):
+def make_train_step(
+    optimizer, width: int, height: int, spp: int, max_depth: int,
+    recover: bool = False,
+):
     """Build a jitted optimization step over the parameter dict.
 
     ``optimizer`` is any optax GradientTransformation. Returns
     ``step(params, opt_state, sd, cp, target, pixel_ids, seed) ->
     (params, opt_state, loss)``.
+
+    ``recover=True`` splits the step into loss_and_grad + a jitted apply
+    so a NaN-poisoned deep chunk retries up the capacity ladder
+    (:func:`loss_and_grad_recovering`) instead of corrupting the
+    parameters; it costs one scalar fetch per step.
     """
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def apply(params, opt_state, grads):
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state
+
+    if recover:
+        def step(params, opt_state, sd, cp, target, pixel_ids, seed):
+            loss, grads = loss_and_grad_recovering(
+                params, sd, cp, target, pixel_ids, seed,
+                width=width, height=height, spp=spp, max_depth=max_depth,
+            )
+            params, opt_state = apply(params, opt_state, grads)
+            return params, opt_state, loss
+
+        return step
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, sd, cp, target, pixel_ids, seed):

@@ -855,7 +855,7 @@ RECORD_DEEP_DIV = 12
 
 def record_two_level(
     sd, cp, width, height, pixel_ids, sample_ids, seed, max_depth,
-    head: int, div: int = RECORD_DEEP_DIV, interpret: bool = False,
+    head: int, div: int | None = None, interpret: bool = False,
     record_mode: str = "auto",
 ):
     """Two-level decision record: full width to ``head`` rows, then a
@@ -873,15 +873,17 @@ def record_two_level(
     Returns (rec_h (head, R), rec_n (max_depth, r_n), idx_n (r_n,) lane
     ids, valid_n (r_n,) slot-filled mask, n_deep scalar). Overflow past
     r_n is detected by the caller via n_deep (NaN-poisoned downstream).
-    The ``CRUCIBLE_RECORD_DEEP_DIV`` env var overrides ``div`` when set
-    (the sweep/test knob — note it wins over an explicit argument).
+    ``div`` resolution: an explicit argument wins (the overflow-recovery
+    ladder widens it, grad.loss_and_grad_recovering), else the
+    ``CRUCIBLE_RECORD_DEEP_DIV`` env var (the sweep/test knob), else
+    RECORD_DEEP_DIV.
     """
     import os
 
     r = pixel_ids.shape[0]
-    env_div = os.environ.get("CRUCIBLE_RECORD_DEEP_DIV")
-    if env_div is not None:
-        div = int(env_div)
+    if div is None:
+        env_div = os.environ.get("CRUCIBLE_RECORD_DEEP_DIV")
+        div = int(env_div) if env_div is not None else RECORD_DEEP_DIV
     if record_mode == "auto":
         record_mode = (
             "mega"
@@ -1077,6 +1079,8 @@ def render_rays_replay(
     record_mode: str = "auto",
     rec=None,
     split: bool | None = None,
+    spec=None,
+    record_div: int | None = None,
 ):
     """Primary rays + record + differentiable replay -> radiance (R, 3).
 
@@ -1103,6 +1107,10 @@ def render_rays_replay(
     high-survivor scenes where the narrowed tail's fixed capacity would
     trip its NaN overflow guard (ADVICE r3); ``True`` forces narrowing.
     The ``CRUCIBLE_GRAD_SPLIT`` env var (0/1) overrides a ``None`` default.
+
+    ``spec`` / ``record_div``: explicit bucket spec and narrow-record
+    divisor overrides (win over the env knobs) — the capacity-widening
+    rungs of grad.loss_and_grad_recovering's overflow-recovery ladder.
     """
     if record_mode == "auto":
         record_mode = (
@@ -1139,18 +1147,18 @@ def render_rays_replay(
         # record was the dominant cost of deep chunks (per-tile exit cannot
         # help when rare deep lanes land in nearly every tile; see
         # record_two_level).
-        lims, _ = _bucket_spec(max_depth)
+        lims, _ = _bucket_spec(max_depth, spec)
         rec_h, rec_n, idx_n, valid_n, n_deep = record_two_level(
             jax.lax.stop_gradient(sd),
             jax.lax.stop_gradient(cp),
             width, height, pixel_ids, sample_ids, seed, max_depth,
-            head=lims[0],
+            head=lims[0], div=record_div,
             interpret=backend.pallas_interpret(),
             record_mode=record_mode,
         )
         return replay_bucketed_2l(
             sd, cp, width, height, o, d, pixel_ids, sample_ids, seed,
-            max_depth, rec_h, rec_n, idx_n, valid_n, n_deep,
+            max_depth, rec_h, rec_n, idx_n, valid_n, n_deep, spec=spec,
         )
     # The record pass produces only integers, but its interior (early-exit
     # while_loop, raw Pallas intersection) must not carry tangents at all —
@@ -1197,5 +1205,5 @@ def render_rays_replay(
     # (D, R) buffer — bucket over it directly.
     return replay_bucketed(
         sd, cp, width, height, o, d, pixel_ids, sample_ids, seed,
-        max_depth, rec,
+        max_depth, rec, spec=spec,
     )

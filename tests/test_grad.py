@@ -349,3 +349,121 @@ class TestTrainDemoResume:
             resume=False, verbose=False,
         )
         assert losses[-1]["loss"] < losses[0]["loss"] * 0.7, losses
+
+
+class TestOverflowRecovery:
+    """Deep-replay capacity overflow must auto-recover (VERDICT r4 #4):
+    the static lane-narrowing capacities NaN-poison loudly on enclosed /
+    high-survivor scenes; the recovery ladder retries the poisoned chunk
+    with widened capacities and finally the unsplit full-width replay,
+    so a training run completes with DEFAULT knobs."""
+
+    def _mirror_shell(self):
+        from crucible_tpu.models.scene import Metal, Scene, Sphere
+
+        sc = Scene.new_image(1.0, 32)
+        sc.scene_cam.look_from((0, 0, 0))
+        sc.scene_cam.look_at((0, 0, -1))
+        sc.scene_cam.set_vfov(60.0)
+        # Camera inside a perfect mirror sphere: EVERY lane survives to
+        # max_depth, exceeding every narrowed capacity.
+        sc.add_element(
+            Sphere((0, 0, 0), 10.0, Metal((0.9, 0.9, 0.9), 0.0)), "shell"
+        )
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        p = 32 * 32
+        pix = jnp.arange(p, dtype=jnp.uint32)
+        target = jnp.zeros((p, 3), jnp.float32)
+        params = G.extract_params(sd, cp)
+        kw = dict(width=32, height=32, spp=2, max_depth=16)
+        return sd, cp, pix, target, params, kw
+
+    def test_default_chunk_poisons_and_ladder_recovers(self, capsys):
+        sd, cp, pix, target, params, kw = self._mirror_shell()
+        # The overflow injection: the default deep path NaN-poisons.
+        loss0, _ = G.loss_and_grad(
+            params, sd, cp, target, pix, jnp.uint32(0), **kw
+        )
+        assert not np.isfinite(float(loss0))
+        # The ladder recovers with default knobs and warns loudly.
+        loss1, g1 = G.loss_and_grad_recovering(
+            params, sd, cp, target, pix, jnp.uint32(0), **kw
+        )
+        assert np.isfinite(float(loss1))
+        for leaf in jax.tree_util.tree_leaves(g1):
+            assert np.isfinite(np.asarray(leaf)).all()
+        err = capsys.readouterr().err
+        assert "retrying with wider" in err and "recovered" in err
+        # The recovered value equals the explicit unsplit escape hatch.
+        loss2, g2 = G.loss_and_grad(
+            params, sd, cp, target, pix, jnp.uint32(0), grad_split=False,
+            **kw,
+        )
+        assert float(loss1) == float(loss2)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_accum_recovers_poisoned_chunks(self, capsys):
+        sd, cp, pix, target, params, kw = self._mirror_shell()
+        loss, g = G.loss_and_grad_accum(
+            params, sd, cp, target, pix, jnp.uint32(0), chunk_spp=1, **kw
+        )
+        assert np.isfinite(float(loss))
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all()
+        assert "recovering" in capsys.readouterr().err
+
+    def test_train_step_recovering_descends(self):
+        import optax
+        from crucible_tpu.models.scene import Emissive, Metal, Scene, Sphere
+
+        # Mirror shell + a small emitter inside: most lanes still bounce to
+        # max_depth (overflow preserved) but the radiance is nonzero, so a
+        # zero target gives the optimizer a slope (drive emission down).
+        sc = Scene.new_image(1.0, 32)
+        sc.scene_cam.look_from((0, 0, 0))
+        sc.scene_cam.look_at((0, 0, -1))
+        sc.scene_cam.set_vfov(60.0)
+        sc.add_element(
+            Sphere((0, 0, 0), 10.0, Metal((0.9, 0.9, 0.9), 0.0)), "shell"
+        )
+        sc.add_element(
+            Sphere((0, 0, -3), 0.6, Emissive((2.0, 1.5, 1.0))), "light"
+        )
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        pix = jnp.arange(32 * 32, dtype=jnp.uint32)
+        target = jnp.zeros((32 * 32, 3), jnp.float32)
+        params = G.extract_params(sd, cp)
+        # Overflow injection still holds for this scene too.
+        l0, _ = G.loss_and_grad(
+            params, sd, cp, target, pix, jnp.uint32(0),
+            width=32, height=32, spp=2, max_depth=16,
+        )
+        assert not np.isfinite(float(l0))
+        step = G.make_train_step(
+            optax.adam(2e-2), 32, 32, 2, 16, recover=True
+        )
+        opt_state = optax.adam(2e-2).init(params)
+        losses = []
+        for i in range(3):
+            params, opt_state, loss = step(
+                params, opt_state, sd, cp, target, pix, jnp.uint32(i)
+            )
+            losses.append(float(loss))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+
+    def test_ladder_raises_actionable_on_true_nan(self):
+        """A NaN that ISN'T a capacity overflow must climb the whole
+        ladder and raise with a message naming the knobs' limits."""
+        sd, cp, pix, target, params, kw = self._mirror_shell()
+        bad = dict(params)
+        bad["tex_color"] = params["tex_color"].at[0].set(jnp.nan)
+        with pytest.raises(FloatingPointError, match="NOT a lane-narrowing"):
+            G.loss_and_grad_recovering(
+                bad, sd, cp, target, pix, jnp.uint32(0), **kw
+            )

@@ -964,6 +964,184 @@ def movie(duration=5.0, out=None, world=None):
     )
 
 
+def replaykernel():
+    """On-chip validation + timing of the in-Pallas replay kernel (r5
+    VERDICT #1): (1) does Mosaic lower both kernels, (2) forward radiance
+    vs the jnp replay, (3) gradient agreement, (4) d8 minibatch and deep
+    d50 chunk timings with the kernel on vs off."""
+    import os
+
+    from crucible_tpu import grad as G
+    from crucible_tpu.models import demo, replay
+    from crucible_tpu.models import integrator
+    from crucible_tpu.models.camera import generate_rays
+
+    sc = demo.book1_end_scene(width=400)
+    sd = sc.build()
+    cp = sc.scene_cam.params()
+
+    # --- 1+2: small-config correctness on the chip ------------------------
+    w0, h0, depth0 = 192, 108, 8
+    r0 = w0 * h0
+    pix = jnp.arange(r0, dtype=jnp.uint32)
+    smp = jnp.zeros((r0,), jnp.uint32)
+    seed = jnp.uint32(7)
+    o, d, _ = generate_rays(cp, w0, h0, pix, smp, seed)
+    rec = replay.trace_record_mega(sd, cp, w0, h0, pix, smp, seed, depth0)
+    table = integrator.make_sphere_table(sd)
+    os.environ["CRUCIBLE_REPLAY_KERNEL"] = "0"
+    jax.clear_caches()
+    ref = np.asarray(
+        jax.jit(
+            lambda: replay.trace_replay(sd, o, d, pix, smp, seed, depth0, rec)
+        )()
+    )
+    from crucible_tpu.ops.pallas import replay_kernel as rk
+
+    got = np.asarray(
+        jax.jit(
+            lambda: rk.trace_replay_mega(table, o, d, pix, smp, seed, rec)
+        )()
+    )
+    close = np.isclose(got, ref, rtol=1e-3, atol=1e-3).all(axis=-1)
+    log(
+        bench="replaykernel_fwd_check",
+        lanes_close=round(float(close.mean()), 5),
+        mean_absdiff=float(np.abs(got - ref).mean()),
+        finite=bool(np.isfinite(got).all()),
+    )
+
+    # Gradient agreement at 48x27 (normalized by each leaf's max).
+    w1, h1 = 96, 54
+    pix1 = jnp.arange(w1 * h1, dtype=jnp.uint32)
+    target = jnp.zeros((w1 * h1, 3), jnp.float32)
+    params = G.extract_params(sd, cp)
+    kw1 = dict(width=w1, height=h1, spp=2, max_depth=16)
+    outs = {}
+    for mode in ("0", "1"):
+        os.environ["CRUCIBLE_REPLAY_KERNEL"] = mode
+        jax.clear_caches()
+        l, g = G.loss_and_grad(
+            params, sd, cp, target, pix1, jnp.uint32(3), **kw1
+        )
+        outs[mode] = (float(l), jax.tree_util.tree_map(np.asarray, g))
+    gstats = {}
+    for key in ("mat_emission", "tex_color", "mat_fuzz", "cam_vfov"):
+        a, b = outs["0"][1][key], outs["1"][1][key]
+        scale = max(float(np.abs(a).max()), 1e-6)
+        gstats[key] = round(float(np.abs(a - b).max() / scale), 6)
+    log(
+        bench="replaykernel_grad_check",
+        loss_off=round(outs["0"][0], 6),
+        loss_on=round(outs["1"][0], 6),
+        norm_maxdiff=gstats,
+    )
+
+    # --- 3: production timings on/off -------------------------------------
+    def time_step(w, h, spp, depth, steps=3):
+        pix_t = jnp.arange(w * h, dtype=jnp.uint32)
+        tgt = jnp.zeros((w * h, 3), jnp.float32)
+        kw = dict(width=w, height=h, spp=spp, max_depth=depth)
+        loss, g = G.loss_and_grad(
+            params, sd, cp, tgt, pix_t, jnp.uint32(0), **kw
+        )
+        jax.block_until_ready(g)
+        t0 = time.time()
+        for i in range(steps):
+            loss, g = G.loss_and_grad(
+                params, sd, cp, tgt, pix_t, jnp.uint32(1 + i), **kw
+            )
+        # Forced D2H fetch ends the window (tunnel no-op guard, CLAUDE.md).
+        float(loss)
+        return (time.time() - t0) / steps
+
+    for mode in ("0", "1"):
+        os.environ["CRUCIBLE_REPLAY_KERNEL"] = mode
+        jax.clear_caches()
+        dt = time_step(1920, 1080, 4, 8)
+        log(
+            bench=f"replaykernel_d8_step_kernel{mode}",
+            seconds=round(dt, 3),
+            mrays_per_s=round(1920 * 1080 * 4 / dt / 1e6, 3),
+        )
+        dt = time_step(1920, 1080, 4, 50)
+        log(
+            bench=f"replaykernel_d50_chunk_kernel{mode}",
+            seconds=round(dt, 3),
+            mrays_per_s=round(1920 * 1080 * 4 / dt / 1e6, 3),
+        )
+    os.environ.pop("CRUCIBLE_REPLAY_KERNEL", None)
+
+
+def replayprof(w=1920, h=1080, spp=4, depth=8):
+    """Decompose the d8 minibatch step with the in-Pallas replay kernel:
+    record pass, kernel replay fwd, kernel replay fwd+bwd, jnp replay fwd
+    and fwd+bwd on the same records — names the dominant piece."""
+    import os
+
+    from crucible_tpu.models import demo, replay, integrator
+    from crucible_tpu.models.camera import generate_rays
+    from crucible_tpu.ops.pallas import replay_kernel as rk
+
+    sc = demo.book1_end_scene(width=400)
+    sd = sc.build()
+    cp = sc.scene_cam.params()
+    rays = w * h * spp
+    pix = jnp.tile(jnp.arange(w * h, dtype=jnp.uint32), spp)
+    smp = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), w * h)
+    seed = jnp.uint32(1)
+
+    def timeit(name, fn, *args, n=3):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(n):
+            out = fn(*args)
+        x = jax.tree_util.tree_leaves(out)[0]
+        float(np.asarray(x[(0,) * x.ndim] if x.ndim else x))
+        dt = (time.time() - t0) / n
+        log(bench=f"replayprof_{name}", seconds=round(dt, 3),
+            mrays_per_s=round(rays / dt / 1e6, 2))
+        return out
+
+    rec_f = jax.jit(
+        lambda sd_, cp_: replay.trace_record_mega(
+            sd_, cp_, w, h, pix, smp, seed, depth
+        )
+    )
+    rec = timeit("record", rec_f, sd, cp)
+    table = integrator.make_sphere_table(sd)
+    o, d, _ = generate_rays(cp, w, h, pix, smp, seed)
+    o = jax.block_until_ready(o)
+
+    kf = jax.jit(
+        lambda t: rk.trace_replay_mega(t, o, d, pix, smp, seed, rec)
+    )
+    timeit("kernel_fwd", kf, table)
+    kg = jax.jit(
+        jax.grad(lambda t: jnp.sum(rk.trace_replay_mega(
+            t, o, d, pix, smp, seed, rec)))
+    )
+    timeit("kernel_fwd_bwd", kg, table)
+
+    os.environ["CRUCIBLE_REPLAY_KERNEL"] = "0"
+    jax.clear_caches()
+    rec = jax.block_until_ready(rec)
+    jf = jax.jit(
+        lambda sd_: replay.trace_replay(sd_, o, d, pix, smp, seed, depth, rec)
+    )
+    timeit("jnp_fwd", jf, sd)
+    jg2 = jax.jit(
+        jax.grad(
+            lambda sd_: jnp.sum(
+                replay.trace_replay(sd_, o, d, pix, smp, seed, depth, rec)
+            )
+        )
+    )
+    timeit("jnp_fwd_bwd", jg2, sd)
+    os.environ.pop("CRUCIBLE_REPLAY_KERNEL", None)
+
+
 def r2():
     demos()
     leafsweep()
@@ -998,5 +1176,6 @@ if __name__ == "__main__":
         "gradprof50": gradprof50, "gradprof50b": gradprof50b,
         "golden": golden, "stress": stress, "gradprof50c": gradprof50c,
         "teapot1": teapot1, "mxufetch": mxufetch, "nestedx": nestedx,
-        "mxurec": mxurec,
+        "mxurec": mxurec, "replaykernel": replaykernel,
+        "replayprof": replayprof,
     }[mode]()
