@@ -95,12 +95,14 @@ GOLDEN_TPU = Path(__file__).parent / "goldens" / "golden_tpu_v1.npz"
 def test_tpu_golden_file_honest():
     """The real-chip golden references (tools/make_tpu_goldens.py; asserted
     on the chip by `tools/tpu_bench.py golden`) must stay in sync with the
-    CPU tiled reference renderer: all six worlds present at 64px/8spp, and
-    the cheapest world re-rendered here bit-for-bit."""
+    CPU tiled reference renderer: all eight worlds plus the depth-50
+    deep-gradient-path config present at 64px, and the cheapest world
+    re-rendered here bit-for-bit."""
     z = np.load(GOLDEN_TPU)
     assert sorted(z.files) == sorted(
         ["smoke_scene", "book1_end_scene", "checkered_spheres", "earth",
-         "load_teapot", "garden_skybox", "sphere_stress", "nested_checkers"]
+         "load_teapot", "garden_skybox", "sphere_stress", "nested_checkers",
+         "book1_deep50"]
     )
     for name in z.files:
         assert z[name].shape[1] == 64 and z[name].shape[2] == 3, name
@@ -109,6 +111,21 @@ def test_tpu_golden_file_honest():
     np.testing.assert_allclose(
         np.asarray(img), z["smoke_scene"], atol=2e-5
     )
+
+
+def test_tpu_deep_golden_matches_deep_replay_path():
+    """The stored depth-50 golden reproduces through the deep gradient
+    path's forward (two-level record + bucketed replay) on CPU — the same
+    estimator `tools/tpu_bench.py golden` runs on the chip (where the
+    buckets go through the in-Pallas replay kernel)."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
+    import make_tpu_goldens as mg
+
+    img = mg.deep_replay_image(64, 8, 50)
+    want = np.load(GOLDEN_TPU)["book1_deep50"]
+    np.testing.assert_allclose(img, want, atol=2e-5)
 
 
 def test_golden_earth_record_schedule():

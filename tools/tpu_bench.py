@@ -876,28 +876,24 @@ def golden(out_json=None):
 
     from crucible_tpu.models import demo, render
 
+    sys.path.insert(0, str(Path(__file__).parent))
+    import make_tpu_goldens as mg
+
     npz = Path(__file__).parent.parent / "tests" / "goldens" / "golden_tpu_v1.npz"
     want_all = np.load(npz)
-    spp, depth = 8, 8
+    depth = 8
     results = []
     ok_all = True
-    for name in want_all.files:
-        want = want_all[name]
-        h, w, _ = want.shape
-        sc = getattr(demo, name)(width=w)
-        sd = sc.build()
-        cp = sc.scene_cam.params()
-        t0 = time.time()
-        img = np.asarray(
-            render.render_image_persistent(sd, cp, w, h, spp, depth, 0)
-        )
-        dt = time.time() - t0
+
+    def check(name, img, want, spp):
+        nonlocal ok_all
         d = np.abs(img - want)
         scale = max(1.0, float(want.max()))
         # Same samples, same decisions — only f32 association and rare
         # ulp-flipped silhouette samples differ (tests/test_golden.py
         # bounds): no pixel beyond ~one flipped sample, thin flip tail,
-        # tight mean.
+        # tight mean. (Teapot runs 32 spp since r5 — its 8-spp flip tail
+        # sat at 99% of the bound, VERDICT r4 #6.)
         checks = {
             "max_lt_2_over_spp": float(d.max()) < 2.0 * scale / spp,
             "fliptail_lt_2pct": float((d > 0.05 * scale).mean()) < 0.02,
@@ -906,22 +902,162 @@ def golden(out_json=None):
         ok = all(checks.values())
         ok_all = ok_all and ok
         row = dict(
-            config=name, ok=ok, seconds=round(dt, 2),
+            config=name, ok=ok, spp=spp,
             d_max=round(float(d.max()), 5), d_mean=round(float(d.mean()), 6),
             flip_frac=round(float((d > 0.05 * scale).mean()), 5),
             scale=round(scale, 3), **checks,
         )
         results.append(row)
         log(bench=f"golden_{name}", **row)
-    verdict = {"ok": ok_all, "spp": spp, "depth": depth, "configs": results}
+
+    for name in want_all.files:
+        if name == mg.DEEP_KEY:
+            continue
+        want = want_all[name]
+        h, w, _ = want.shape
+        spp = mg.WORLD_SPP[name]
+        sc = getattr(demo, name)(width=w)
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        img = np.asarray(
+            render.render_image_persistent(sd, cp, w, h, spp, depth, 0)
+        )
+        check(name, img, want, spp)
+
+    # Depth-50 config through the DEEP gradient path's forward (two-level
+    # record + bucketed replay; on the chip the buckets run the in-Pallas
+    # replay kernel) — the headline deep machinery, image-checked
+    # (VERDICT r4 #6).
+    img = mg.deep_replay_image(mg.DEEP_WORLD[1], mg.DEEP_WORLD[2],
+                               mg.DEEP_WORLD[3])
+    check(mg.DEEP_KEY, img, want_all[mg.DEEP_KEY], mg.DEEP_WORLD[2])
+
+    verdict = {
+        "ok": ok_all, "depth": depth, "configs": results,
+        "gradcheck": gradcheck(standalone=False),
+    }
+    ok_all = ok_all and verdict["gradcheck"]["ok"]
+    verdict["ok"] = ok_all
     if out_json is None:
-        out_json = Path(__file__).parent.parent / "TPU_GOLDEN_r04.json"
+        out_json = Path(__file__).parent.parent / "TPU_GOLDEN_r05.json"
     with open(out_json, "w") as f:
         json.dump(verdict, f, indent=1)
     print(json.dumps({"golden_verdict": ok_all, "out": str(out_json)}))
     if not ok_all:
         drifted = [r["config"] for r in results if not r["ok"]]
+        if not verdict["gradcheck"]["ok"]:
+            drifted.append(
+                "gradcheck:" + ",".join(verdict["gradcheck"]["failed"])
+            )
         raise SystemExit(f"golden drift in: {drifted}")
+
+
+def gradcheck(standalone=True):
+    """ON-CHIP gradient golden (VERDICT r4 #5): replay-vs-direct-AD
+    gradient agreement plus FD spot-checks (albedo + one texel) at small
+    configs, on the real chip. Failure names the drifted parameter.
+    Returns a dict merged into TPU_GOLDEN by `golden`."""
+    from crucible_tpu import grad as G
+    from crucible_tpu.models import demo
+
+    failed = []
+    rows = {}
+
+    # 1. Replay vs direct AD, every differentiable leaf (book1 64px d4;
+    #    dielectric + metal + checker coverage). Same acceptance as
+    #    tests/test_replay.py fuzz equivalence: estimator EQUALITY.
+    sc = demo.book1_end_scene(width=64)
+    sd = sc.build()
+    cp = sc.scene_cam.params()
+    w, h = 64, sc.scene_cam.image_height
+    pix = jnp.arange(w * h, dtype=jnp.uint32)
+    target = jnp.zeros((w * h, 3), jnp.float32)
+    params = G.extract_params(sd, cp)
+    kw = dict(width=w, height=h, spp=2, max_depth=4)
+    _, g_ad = G.loss_and_grad(
+        params, sd, cp, target, pix, jnp.uint32(0), method="ad", **kw
+    )
+    _, g_rp = G.loss_and_grad(
+        params, sd, cp, target, pix, jnp.uint32(0), method="replay", **kw
+    )
+    for key in sorted(params):
+        a = np.asarray(g_ad[key], np.float64)
+        b = np.asarray(g_rp[key], np.float64)
+        if isinstance(g_ad[key], (list, tuple)):
+            continue
+        scale = max(float(np.abs(a).max()), 1e-6)
+        nd = float(np.abs(a - b).max() / scale)
+        rows[f"ad_vs_replay:{key}"] = round(nd, 6)
+        # Geometry-sensitive leaves (camera) carry silhouette noise; the
+        # radiometric leaves must be tight.
+        bound = 0.02 if key.startswith("cam_") else 2e-3
+        if not (np.isfinite(nd) and nd < bound):
+            failed.append(f"ad_vs_replay:{key}")
+
+    # 2. FD spot-checks on the chip: albedo (smoke scene) + one texel
+    #    (earth). Same protocol as tests/test_replay.py::_fd_vs_grad.
+    def fd_check(name, sc, key, spp=4, depth=4, eps=1e-3, rel=5e-2):
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        wd, ht = sc.scene_cam.image_width, sc.scene_cam.image_height
+        pixf = jnp.arange(wd * ht, dtype=jnp.uint32)
+        tgt = jnp.zeros((wd * ht, 3), jnp.float32)
+        p0 = G.extract_params(sd, cp)
+        kwf = dict(width=wd, height=ht, spp=spp, max_depth=depth,
+                   method="replay")
+        _, grads = G.loss_and_grad(p0, sd, cp, tgt, pixf, jnp.uint32(0), **kwf)
+        leaf = grads[key][0] if key == "tex_images" else grads[key]
+        g = np.asarray(leaf)
+        idx = np.unravel_index(np.argmax(np.abs(g)), g.shape)
+
+        def loss_at(delta):
+            p2 = dict(p0)
+            if key == "tex_images":
+                arr = np.asarray(p0[key][0], np.float64).copy()
+                arr[idx] += delta
+                p2[key] = (jnp.asarray(arr, jnp.float32),) + tuple(
+                    p0[key][1:]
+                )
+            else:
+                arr = np.asarray(p0[key], np.float64).copy()
+                arr[idx] += delta
+                p2[key] = jnp.asarray(arr, jnp.float32)
+            return float(
+                G.l2_loss(p2, sd, cp, tgt, pixf, jnp.uint32(0), **kwf)
+            )
+
+        fd = (loss_at(eps) - loss_at(-eps)) / (2 * eps)
+        ad = float(g[idx])
+        rows[f"fd:{name}:{key}"] = dict(
+            ad=round(ad, 8), fd=round(fd, 8),
+            rel=round(abs(ad - fd) / max(abs(fd), 1e-9), 5),
+        )
+        if not (abs(ad) > 0 and abs(ad - fd) <= rel * abs(fd)):
+            failed.append(f"fd:{name}:{key}")
+
+    fd_check("smoke", demo.smoke_scene(width=32), "tex_color")
+    fd_check("earth", demo.earth(width=24), "tex_images", spp=2, depth=3)
+
+    # 3. Deep-path gradients (d50 budget machinery) finite on the chip.
+    _, g_deep = G.loss_and_grad(
+        params, sd, cp, target, pix, jnp.uint32(0),
+        width=w, height=h, spp=2, max_depth=50,
+    )
+    deep_finite = all(
+        bool(np.isfinite(np.asarray(l)).all())
+        for l in jax.tree_util.tree_leaves(g_deep)
+    )
+    rows["deep50_grads_finite"] = deep_finite
+    if not deep_finite:
+        failed.append("deep50_grads_finite")
+
+    out = {"ok": not failed, "failed": failed, "checks": rows}
+    log(bench="gradcheck", **{"ok": out["ok"], "failed": failed})
+    if standalone:
+        print(json.dumps(out, indent=1))
+        if failed:
+            raise SystemExit(f"gradcheck drift in: {failed}")
+    return out
 
 
 def movie(duration=5.0, out=None, world=None):
@@ -1114,31 +1250,65 @@ def replayprof(w=1920, h=1080, spp=4, depth=8):
     o, d, _ = generate_rays(cp, w, h, pix, smp, seed)
     o = jax.block_until_ready(o)
 
+    # Big arrays must be jit ARGUMENTS, not closure constants (a closed-over
+    # buffer embeds in the HLO -> remote-compile HTTP 413, CLAUDE.md).
     kf = jax.jit(
-        lambda t: rk.trace_replay_mega(t, o, d, pix, smp, seed, rec)
+        lambda t, o_, d_, p_, s_, rec_: rk.trace_replay_mega(
+            t, o_, d_, p_, s_, seed, rec_
+        )
     )
-    timeit("kernel_fwd", kf, table)
+    timeit("kernel_fwd", kf, table, o, d, pix, smp, rec)
     kg = jax.jit(
-        jax.grad(lambda t: jnp.sum(rk.trace_replay_mega(
-            t, o, d, pix, smp, seed, rec)))
+        jax.grad(
+            lambda t, o_, d_, p_, s_, rec_: jnp.sum(
+                rk.trace_replay_mega(t, o_, d_, p_, s_, seed, rec_)
+            )
+        )
     )
-    timeit("kernel_fwd_bwd", kg, table)
+    timeit("kernel_fwd_bwd", kg, table, o, d, pix, smp, rec)
 
     os.environ["CRUCIBLE_REPLAY_KERNEL"] = "0"
     jax.clear_caches()
     rec = jax.block_until_ready(rec)
     jf = jax.jit(
-        lambda sd_: replay.trace_replay(sd_, o, d, pix, smp, seed, depth, rec)
-    )
-    timeit("jnp_fwd", jf, sd)
-    jg2 = jax.jit(
-        jax.grad(
-            lambda sd_: jnp.sum(
-                replay.trace_replay(sd_, o, d, pix, smp, seed, depth, rec)
-            )
+        lambda sd_, o_, d_, p_, s_, rec_: replay.trace_replay(
+            sd_, o_, d_, p_, s_, seed, depth, rec_
         )
     )
-    timeit("jnp_fwd_bwd", jg2, sd)
+    timeit("jnp_fwd", jf, sd, o, d, pix, smp, rec)
+    jg2 = jax.jit(
+        jax.grad(
+            lambda sd_, o_, d_, p_, s_, rec_: jnp.sum(
+                replay.trace_replay(sd_, o_, d_, p_, s_, seed, depth, rec_)
+            ),
+            allow_int=True,
+        )
+    )
+    timeit("jnp_fwd_bwd", jg2, sd, o, d, pix, smp, rec)
+    os.environ.pop("CRUCIBLE_REPLAY_KERNEL", None)
+
+    # --- depth-50 deep path: where does the chunk go with the kernel? ----
+    depth50 = 50
+    for mode in ("1", "0"):
+        os.environ["CRUCIBLE_REPLAY_KERNEL"] = mode
+        jax.clear_caches()
+        df = jax.jit(
+            lambda sd_, cp_, p_, s_: replay.render_rays_replay(
+                sd_, cp_, w, h, p_, s_, seed, depth50, split=True
+            )
+        )
+        timeit(f"deep50_fwd_kernel{mode}", df, sd, cp, pix, smp)
+        dg = jax.jit(
+            jax.grad(
+                lambda sd_, cp_, p_, s_: jnp.sum(
+                    replay.render_rays_replay(
+                        sd_, cp_, w, h, p_, s_, seed, depth50, split=True
+                    )
+                ),
+                allow_int=True,
+            )
+        )
+        timeit(f"deep50_fwd_bwd_kernel{mode}", dg, sd, cp, pix, smp)
     os.environ.pop("CRUCIBLE_REPLAY_KERNEL", None)
 
 
@@ -1177,5 +1347,5 @@ if __name__ == "__main__":
         "golden": golden, "stress": stress, "gradprof50c": gradprof50c,
         "teapot1": teapot1, "mxufetch": mxufetch, "nestedx": nestedx,
         "mxurec": mxurec, "replaykernel": replaykernel,
-        "replayprof": replayprof,
+        "replayprof": replayprof, "gradcheck": gradcheck,
     }[mode]()
