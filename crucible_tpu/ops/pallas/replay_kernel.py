@@ -240,18 +240,45 @@ def _bounce(carry, srow, dec, u1, u2, u_dec, accumulate: bool):
     return (ox2, oy2, oz2, dx2, dy2, dz2, tx2, ty2, tz2), (dr, dg, db)
 
 
-def _fetch(table_ref, idx, n):
-    """(32, T) winner rows via a one-hot MXU contraction (bit-exact: one
-    nonzero product per output; megakernel.py MXU_FETCH argument)."""
+def _split3(x):
+    """Exact 3-way bf16 split of f32 values: x == hi + mid + lo (f32
+    mantissa 24 bits = 3 x bf16's 8; residuals are exactly representable
+    for normal-range table values — the same decomposition
+    Precision.HIGHEST performs internally)."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _onehot(idx, n):
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, TILE), 0)
-    oh = jnp.where(rows == idx, 1.0, 0.0)
-    srow = jax.lax.dot_general(
-        table_ref[:, :],
-        oh,
+    return jnp.where(rows == idx, 1.0, 0.0)
+
+
+def _dot_nt(a, b):
+    """(N, C) x (N, T) -> (C, T), one bf16 MXU pass, f32 accumulate."""
+    return jax.lax.dot_general(
+        a,
+        b,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
     )
+
+
+def _fetch(table3, idx, n):
+    """(32, T) winner rows via one-hot MXU contractions — bit-exact in
+    THREE bf16 passes instead of Precision.HIGHEST's nine: the one-hot is
+    exact in bf16 (1.0/0.0) so only the TABLE needs splitting (_split3);
+    each pass has one nonzero product per output and the three f32 terms
+    sum back to the original value exactly (verified bit-equal to a
+    HIGHEST f32 contraction in tests). HIGHEST's nine passes were the
+    kernel's dominant MXU cost (replayprof r5)."""
+    oh = _onehot(idx, n)
+    ohb = oh.astype(jnp.bfloat16)
+    hi, mid, lo = table3
+    srow = (_dot_nt(hi, ohb) + _dot_nt(mid, ohb)) + _dot_nt(lo, ohb)
     return oh, srow
 
 
@@ -279,11 +306,12 @@ def _fwd_kernel(
         d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :],
         thr0, thr0, thr0,
     )
+    table3 = _split3(table_ref[:, :])  # loop-invariant, hoisted
 
     def step(it, carry, accumulate):
         word = rec_ref[pl.ds(it, 1), :]
         dec = _decode(word)
-        _, srow = _fetch(table_ref, dec["idx"], n)
+        _, srow = _fetch(table3, dec["idx"], n)
         u1, u2, ud = _uniform3(pix, smp, STREAM_BOUNCE_BASE + it, seed)
         return _bounce(carry, srow, dec, u1, u2, ud, accumulate)
 
@@ -322,11 +350,13 @@ def _bwd_kernel(
     gtab_ref,  # OUT (N, 32) f32 — accumulated across the whole grid
     go_ref,  # OUT (3, T) f32
     gd_ref,  # OUT (3, T) f32
-    *carry_scratch,  # 9 x VMEM (depth, T) f32 per-bounce entering carries
+    *scratch,  # 9 x VMEM (depth, T) carries + VMEM (depth*32, T) srows
     depth: int,
     accum_from: int,
     n: int,
 ):
+    carry_scratch = scratch[:9]
+    srow_scratch = scratch[9]
     seed = smem_ref[0]
     pix = pix_ref[:]
     smp = smp_ref[:]
@@ -336,6 +366,7 @@ def _bwd_kernel(
         d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :],
         thr0, thr0, thr0,
     )
+    table3 = _split3(table_ref[:, :])
 
     def decode_at(it):
         word = rec_ref[pl.ds(it, 1), :]
@@ -344,12 +375,14 @@ def _bwd_kernel(
         return dec, u1, u2, ud
 
     # Phase 1: re-run the forward, checkpointing each bounce's ENTERING
-    # carry into VMEM scratch (the carry is one-way; the backward needs it).
+    # carry AND its fetched winner rows into VMEM scratch (the carry is
+    # one-way; caching srow saves the reverse sweep its re-fetch).
     def fwd_body(it, carry):
         for k in range(9):
             carry_scratch[k][pl.ds(it, 1), :] = carry[k]
         dec, u1, u2, ud = decode_at(it)
-        _, srow = _fetch(table_ref, dec["idx"], n)
+        _, srow = _fetch(table3, dec["idx"], n)
+        srow_scratch[pl.ds(it * C_IN, C_IN), :] = srow
         # accumulate=False everywhere: phase 1 only needs the carries.
         carry, _ = _bounce(carry, srow, dec, u1, u2, ud, False)
         return carry
@@ -368,20 +401,28 @@ def _bwd_kernel(
 
     def bwd_step(it, g_carry, gtab, acc: bool):
         dec, u1, u2, ud = decode_at(it)
-        oh, srow = _fetch(table_ref, dec["idx"], n)
+        oh = _onehot(dec["idx"], n).astype(jnp.bfloat16)
+        srow = srow_scratch[pl.ds(it * C_IN, C_IN), :]
         carry_in = tuple(
             carry_scratch[k][pl.ds(it, 1), :] for k in range(9)
         )
         f = lambda c, s: _bounce(c, s, dec, u1, u2, ud, acc)
         _, vjp_f = jax.vjp(f, carry_in, srow)
         g_in, g_srow = vjp_f((g_carry, g_rad if acc else zero_rad))
-        gtab = gtab + jax.lax.dot_general(
-            oh,
-            g_srow,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # Table cotangent: one-hot x 3-way-split(g_srow) — three bf16
+        # passes summing the same exact per-term products HIGHEST would
+        # (the one-hot side is exact in bf16).
+        ghi, gmid, glo = _split3(g_srow)
+
+        def dot_tc(gs):
+            return jax.lax.dot_general(
+                oh,
+                gs,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        gtab = gtab + ((dot_tc(ghi) + dot_tc(gmid)) + dot_tc(glo))
         return g_in, gtab
 
     # The accumulate/carry-only boundary is STATIC (accum_from), so the
@@ -476,7 +517,8 @@ def _build(depth: int, accum_from: int, n: int, interpret: bool):
                 jax.ShapeDtypeStruct((3, r), jnp.float32),
                 jax.ShapeDtypeStruct((3, r), jnp.float32),
             ],
-            scratch_shapes=[pltpu.VMEM((depth, TILE), jnp.float32)] * 9,
+            scratch_shapes=[pltpu.VMEM((depth, TILE), jnp.float32)] * 9
+            + [pltpu.VMEM((depth * C_IN, TILE), jnp.float32)],
             interpret=interpret,
         )(smem, pix, smp, valid, o3, d3, rec, table, g_rad)
         return gtab, go3, gd3
