@@ -104,6 +104,11 @@ UNCOND_LEAVES = _os.environ.get("CRUCIBLE_UNCOND_LEAVES", "0").lower() not in (
 MXU_FETCH = _os.environ.get("CRUCIBLE_MXU_FETCH", "1").lower() not in (
     "0", "false", "off",
 )
+# Split-table (3 bf16 passes) vs Precision.HIGHEST (9) for the one-hot
+# MXU fetch — bit-identical results either way (see _fetch_mm).
+MXU_SPLIT = _os.environ.get("CRUCIBLE_MXU_SPLIT", "1").lower() not in (
+    "0", "false", "off",
+)
 # Same contraction for the RECORD kernel's (smaller, 8-12 column) fetch.
 # Verified on v5e (tools/tpu_bench.py mxurec, r4): records sha256
 # IDENTICAL, d8 record pass 0.516 -> 0.453 s (1.14x — fewer columns, so a
@@ -183,6 +188,15 @@ def _unit_f32(u):
 # linearly while still skipping far grid cells.
 CLUSTER = int(_os.environ.get("CRUCIBLE_CLUSTER", "256"))
 _FAR = np.float32(1.0e30)  # empty-chunk sentinel: a far point box never hits
+# Chunks per SUPERCLUSTER: a second bounding level over the cluster chunks
+# (VERDICT r4 #3). The flat chunk scan is linear — at 7808 rows (31 chunks)
+# every tile-iteration pays 31 slab batches + 31 conds even when the rays
+# can only reach a couple of grid cells. One coarse slab over each group of
+# SUPER consecutive chunks (the recursive median split makes consecutive
+# chunks spatially tight) gates the whole group behind one cond — the
+# O(log N)-flavored skip the reference gets from its BVH
+# (src/objects/bvhwrapper.rs:46-80). Engages when n_chunks > SUPER.
+SUPER = int(_os.environ.get("CRUCIBLE_SUPER", "8"))
 
 
 def cluster_spheres(center, radius, active, center_d=None, radius_d=None):
@@ -284,9 +298,11 @@ def _kernel(
     n_mats: int = 0,
     rec_depth: int = 0,
     tri_moving: bool = False,
+    n_super: int = 0,
 ):
     rest = list(rest)
     cbounds_ref = rest.pop(0) if n_chunks else None
+    sbounds_ref = rest.pop(0) if n_super else None
     if n_tri_nodes:
         tnodes_ref, tris_ref, mats_ref, tmeta_ref = rest[:4]
         rest = rest[4:]
@@ -338,6 +354,50 @@ def _kernel(
         x, y, z, w = _pcg4d(pix, smp, jnp.broadcast_to(stream, pix.shape),
                             jnp.broadcast_to(seed, pix.shape))
         return _unit_f32(x), _unit_f32(y), _unit_f32(z), _unit_f32(w)
+
+    # Exact 3-way bf16 split of the attribute table for the one-hot MXU
+    # fetch: f32's 24 mantissa bits = 3 x bf16's 8, the residuals are
+    # exactly representable, and with one nonzero product per output each
+    # bf16 pass is exact — so hi+mid+lo reconstructs the f32 fetch
+    # BIT-EXACTLY in 3 MXU passes where Precision.HIGHEST runs 9 (it
+    # splits BOTH operands; the one-hot side never needed it). Loop-
+    # invariant: computed once per tile. See ops/pallas/replay_kernel.py
+    # _split3 (same trick, verified bit-equal on CPU and on-chip sha).
+    if MXU_FETCH or MXU_FETCH_REC:
+        _t32 = table_ref[:, :]
+        _thi = _t32.astype(jnp.bfloat16)
+        _tr1 = _t32 - _thi.astype(jnp.float32)
+        _tmid = _tr1.astype(jnp.bfloat16)
+        _tlo = (_tr1 - _tmid.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def _fetch_mm(win, lo_row=None, hi_row=None):
+            """(32, T) one-hot fetch via 3 bf16 passes (MXU_SPLIT) or one
+            Precision.HIGHEST contraction (9 passes) — bit-identical.
+            ``lo_row``/``hi_row`` select a chunk's row slice (cull)."""
+            sl = (
+                (lambda t: t)
+                if lo_row is None
+                else (lambda t: t[lo_row:hi_row, :])
+            )
+            if not MXU_SPLIT:
+                return jax.lax.dot_general(
+                    sl(_t32),
+                    jnp.where(win, 1.0, 0.0),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            ohb = jnp.where(win, 1.0, 0.0).astype(jnp.bfloat16)
+
+            def one(t):
+                return jax.lax.dot_general(
+                    sl(t),
+                    ohb,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            return (one(_thi) + one(_tmid)) + one(_tlo)
 
     # Record mode: one path per lane — the issue limit is per-lane
     # (sample0 + 1; padding lanes carry sample0 = 2^30 and never issue).
@@ -474,23 +534,13 @@ def _kernel(
             win = (rows == idx) & (t < BIG)  # exact one-hot (N, T)
             hit = t[0:1, :] < BIG
             if (MXU_FETCH and not rec_depth) or (MXU_FETCH_REC and rec_depth):
-                # Winner fetch as ONE one-hot contraction on the (otherwise
+                # Winner fetch as one-hot contractions on the (otherwise
                 # idle) MXU instead of 2*N VPU ops per column — the fetch
                 # was 44 of ~77 VPU ops/(row,lane) (BASELINE.md roofline).
-                # BIT-EXACT despite bf16 passes: a one-hot contraction has
-                # exactly one nonzero product per output; 1.0/0.0 are exact
-                # in bf16 and HIGHEST's 3-way f32 operand split (hi/mid/lo
-                # bf16 triples with disjoint 8-bit mantissa ranges) sums
-                # back to the original f32 bit-for-bit — no cancellation,
-                # unlike the rejected MT-as-matmul probe (tpu_probe_mxu).
-                # Verified on-chip: tools/tpu_bench.py mxufetch.
-                res = jax.lax.dot_general(
-                    table_ref[:, :],  # (N, 32)
-                    jnp.where(win, 1.0, 0.0),  # (N, T)
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (32, T)
+                # BIT-EXACT despite bf16 passes (split-table argument at
+                # _fetch_mm; r4 shipped the same values via HIGHEST's 9
+                # passes, r5 trims it to 3 — image sha unchanged).
+                res = _fetch_mm(win)  # (32, T)
                 attrs = {c: res[c : c + 1, :] for c in attr_cols}
             else:
                 attrs = {
@@ -515,25 +565,28 @@ def _kernel(
                     return table_ref[k * CLUSTER : (k + 1) * CLUSTER, c : c + 1]
                 return colk
 
-            t = jnp.full((1, TILE), BIG)
-            idx = jnp.zeros((1, TILE), jnp.int32)
-            for k in range(n_chunks):
-                t0x = (cbounds_ref[k, 0] - ox) * inv_dx
-                t1x = (cbounds_ref[k, 3] - ox) * inv_dx
-                t0y = (cbounds_ref[k, 1] - oy) * inv_dy
-                t1y = (cbounds_ref[k, 4] - oy) * inv_dy
-                t0z = (cbounds_ref[k, 2] - oz) * inv_dz
-                t1z = (cbounds_ref[k, 5] - oz) * inv_dz
+            def box_pred(bref, k, tcap):
+                """Any live lane's ray enters box row k of ``bref`` before
+                its current-best t."""
+                t0x = (bref[k, 0] - ox) * inv_dx
+                t1x = (bref[k, 3] - ox) * inv_dx
+                t0y = (bref[k, 1] - oy) * inv_dy
+                t1y = (bref[k, 4] - oy) * inv_dy
+                t0z = (bref[k, 2] - oz) * inv_dz
+                t1z = (bref[k, 5] - oz) * inv_dz
                 enter = jnp.maximum(
                     jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
                     jnp.maximum(jnp.minimum(t0z, t1z), t_min),
                 )
                 exitv = jnp.minimum(
                     jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                    jnp.minimum(jnp.maximum(t0z, t1z), t),
+                    jnp.minimum(jnp.maximum(t0z, t1z), tcap),
                 )
                 boxhit = (enter <= exitv) & alive
-                pred = jnp.max(jnp.where(boxhit, 1, 0)) > 0
+                return jnp.max(jnp.where(boxhit, 1, 0)) > 0
+
+            def chunk_step(k, carry):
+                pred = box_pred(cbounds_ref, k, carry[0])
 
                 def chunk_hit(carry, k=k):
                     tb, ib = carry
@@ -547,12 +600,36 @@ def _kernel(
                     better = tk < tb
                     return jnp.where(better, tk, tb), jnp.where(better, ik, ib)
 
-                t, idx = jax.lax.cond(pred, chunk_hit, lambda c: c, (t, idx))
+                return jax.lax.cond(pred, chunk_hit, lambda c: c, carry)
+
+            t = jnp.full((1, TILE), BIG)
+            idx = jnp.zeros((1, TILE), jnp.int32)
+            if n_super:
+                # Two-level scan: one coarse slab + cond per SUPER-chunk
+                # group; the per-chunk slab/cond run only when the group's
+                # union box is reachable (see SUPER above).
+                for g in range(n_super):
+                    lo_k = g * SUPER
+                    hi_k = min((g + 1) * SUPER, n_chunks)
+                    spred = box_pred(sbounds_ref, g, t)
+
+                    def group_body(carry, lo_k=lo_k, hi_k=hi_k):
+                        for k in range(lo_k, hi_k):
+                            carry = chunk_step(k, carry)
+                        return carry
+
+                    t, idx = jax.lax.cond(
+                        spred, group_body, lambda c: c, (t, idx)
+                    )
+            else:
+                for k in range(n_chunks):
+                    t, idx = chunk_step(k, (t, idx))
 
             hit = t[0:1, :] < BIG
             win_chunk = idx // CLUSTER
-            vals = tuple(zeros for _ in attr_cols)
-            for k in range(n_chunks):
+            vals0 = tuple(zeros for _ in attr_cols)
+
+            def fetch_step(k, vs):
                 predf = jnp.max(
                     jnp.where(hit & (win_chunk == k), 1, 0)
                 ) > 0
@@ -567,12 +644,8 @@ def _kernel(
                         # Per-chunk one-hot contraction (same bit-exactness
                         # argument as the brute branch; the FULL-table
                         # contraction would not fit VMEM past ~4k rows).
-                        res = jax.lax.dot_general(
-                            table_ref[k * CLUSTER : (k + 1) * CLUSTER, :],
-                            jnp.where(win, 1.0, 0.0),
-                            dimension_numbers=(((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST,
+                        res = _fetch_mm(
+                            win, k * CLUSTER, (k + 1) * CLUSTER
                         )  # (32, T)
                         return tuple(
                             v + res[c : c + 1, :]
@@ -584,7 +657,27 @@ def _kernel(
                         for v, c in zip(vs, attr_cols)
                     )
 
-                vals = jax.lax.cond(predf, fetch_chunk, lambda v: v, vals)
+                return jax.lax.cond(predf, fetch_chunk, lambda v: v, vs)
+
+            vals = vals0
+            if n_super:
+                for g in range(n_super):
+                    lo_k = g * SUPER
+                    hi_k = min((g + 1) * SUPER, n_chunks)
+                    in_g = hit & (win_chunk >= lo_k) & (win_chunk < hi_k)
+                    predg = jnp.max(jnp.where(in_g, 1, 0)) > 0
+
+                    def fetch_group(vs, lo_k=lo_k, hi_k=hi_k):
+                        for k in range(lo_k, hi_k):
+                            vs = fetch_step(k, vs)
+                        return vs
+
+                    vals = jax.lax.cond(
+                        predg, fetch_group, lambda v: v, vals
+                    )
+            else:
+                for k in range(n_chunks):
+                    vals = fetch_step(k, vals)
             attrs = dict(zip(attr_cols, vals))
 
         # --- triangle BVH stage (teapot-class meshes) -----------------------
@@ -1183,6 +1276,7 @@ def run_megakernel(
     n_mats = 0
     extra_in = []
     extra_specs = []
+    n_super = 0
     if cbounds is not None:
         n_chunks = cbounds.shape[0]
         assert n_chunks * CLUSTER == n, (n_chunks, n)
@@ -1190,6 +1284,31 @@ def run_megakernel(
         extra_specs.append(
             pl.BlockSpec((n_chunks, 8), lambda i: (0, 0), memory_space=pltpu.VMEM)
         )
+        if n_chunks > SUPER:
+            # Supercluster union boxes over groups of SUPER consecutive
+            # chunks (consecutive = spatially tight, cluster_spheres'
+            # median-split order). Empty (far-sentinel) chunks are masked
+            # out of the union; an all-empty group gets an inverted box
+            # that can never be entered.
+            n_super = (n_chunks + SUPER - 1) // SUPER
+            pad = n_super * SUPER - n_chunks
+            cb = jnp.concatenate(
+                [cbounds, jnp.full((pad, 8), _FAR, cbounds.dtype)]
+            ) if pad else cbounds
+            far = cb[:, 0] >= np.float32(1e29)
+            lo = jnp.where(far[:, None], np.float32(3e38), cb[:, 0:3])
+            hi = jnp.where(far[:, None], np.float32(-3e38), cb[:, 3:6])
+            slo = lo.reshape(n_super, SUPER, 3).min(axis=1)
+            shi = hi.reshape(n_super, SUPER, 3).max(axis=1)
+            sbounds = jnp.concatenate(
+                [slo, shi, jnp.zeros((n_super, 2), cbounds.dtype)], axis=1
+            )
+            extra_in.append(sbounds)
+            extra_specs.append(
+                pl.BlockSpec(
+                    (n_super, 8), lambda i: (0, 0), memory_space=pltpu.VMEM
+                )
+            )
     if tri_nodes is not None:
         n_tri_nodes = tri_nodes.shape[0]
         if n_tri_nodes > MAX_TRI_NODES:
@@ -1226,6 +1345,7 @@ def run_megakernel(
         n_chunks=n_chunks, cam_animated=cam_animated,
         n_tri_nodes=n_tri_nodes, tri_leaf=tri_leaf, n_mats=n_mats,
         tri_moving=bool(tri_nodes is not None and tris.shape[1] == 32),
+        n_super=n_super,
     )
     grid = (r // TILE,)
     (acc,) = pl.pallas_call(

@@ -238,6 +238,29 @@ class TestRendererModes:
         )
         np.testing.assert_array_equal(np.asarray(plain), np.asarray(culled))
 
+    def test_megakernel_supercluster_hierarchy_exact(self, monkeypatch):
+        """The two-level (supercluster) chunk scan is a pure skip
+        optimization: with SUPER forced small so the hierarchy engages
+        (n_chunks > SUPER), the image must stay BIT-identical to the flat
+        cull scan and to the brute kernel (VERDICT r4 #3)."""
+        from crucible_tpu.models import render
+        from crucible_tpu.ops.pallas import megakernel as mk
+
+        sc = demo.sphere_stress(width=24, copies=4)
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
+        n_chunks = -(-sd.sph_center.shape[0] // mk.CLUSTER)
+        plain = render.render_image_persistent(
+            sd, cp, w, h, 2, 4, 0, schedule="mega", cull=False
+        )
+        monkeypatch.setattr(mk, "SUPER", 2)
+        assert n_chunks > 2  # hierarchy engaged
+        culled = render.render_image_persistent(
+            sd, cp, w, h, 2, 4, 0, schedule="mega", cull=True
+        )
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(culled))
+
     def test_megakernel_moving_mesh_matches_staged(self):
         """MOVING triangle meshes in-kernel (r4): linear shutter vertex
         deltas lerped in the leaf test (table cols 16-24), winner normal

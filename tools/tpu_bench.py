@@ -1312,6 +1312,48 @@ def replayprof(w=1920, h=1080, spp=4, depth=8):
     os.environ.pop("CRUCIBLE_REPLAY_KERNEL", None)
 
 
+def deepsweep(w=1920, h=1080, depth=50):
+    """Re-sweep the deep-chunk bucket spec with the in-Pallas replay
+    kernel on: the kernel changes the record-vs-replay trade (narrow
+    re-walk rows are much cheaper now), so the r4 head-6 optimum may have
+    moved. Uses the explicit grad_spec/grad_record_div statics."""
+    from crucible_tpu import grad as G
+    from crucible_tpu.models import demo
+
+    sc = demo.book1_end_scene(width=400)
+    sd = sc.build()
+    cp = sc.scene_cam.params()
+    params = G.extract_params(sd, cp)
+
+    def step(tag, spp, spec, div, steps=3):
+        pix = jnp.arange(w * h, dtype=jnp.uint32)
+        tgt = jnp.zeros((w * h, 3), jnp.float32)
+        kw = dict(width=w, height=h, spp=spp, max_depth=depth,
+                  grad_spec=spec, grad_record_div=div)
+        loss, g = G.loss_and_grad(
+            params, sd, cp, tgt, pix, jnp.uint32(0), **kw
+        )
+        finite = bool(np.isfinite(float(loss)))
+        t0 = time.time()
+        for i in range(steps):
+            loss, g = G.loss_and_grad(
+                params, sd, cp, tgt, pix, jnp.uint32(1 + i), **kw
+            )
+        float(loss)
+        dt = (time.time() - t0) / steps
+        log(bench=f"deepsweep_{tag}", seconds=round(dt, 3),
+            mrays_per_s=round(w * h * spp / dt / 1e6, 3), finite=finite)
+
+    step("default_h6d12", 4, None, None)
+    step("h4_d8", 4, ((4, 1), (16, 8), (0, 32)), 8)
+    step("h4_d12", 4, ((4, 1), (16, 8), (0, 32)), 12)
+    step("h6_d16", 4, None, 16)
+    step("h2_d4", 4, ((2, 1), (8, 4), (16, 16), (0, 32)), 4)
+    step("h3_d6", 4, ((3, 1), (12, 6), (0, 24)), 6)
+    step("default_spp8", 8, None, None)
+    step("h4_d8_spp8", 8, ((4, 1), (16, 8), (0, 32)), 8)
+
+
 def r2():
     demos()
     leafsweep()
@@ -1347,5 +1389,5 @@ if __name__ == "__main__":
         "golden": golden, "stress": stress, "gradprof50c": gradprof50c,
         "teapot1": teapot1, "mxufetch": mxufetch, "nestedx": nestedx,
         "mxurec": mxurec, "replaykernel": replaykernel,
-        "replayprof": replayprof, "gradcheck": gradcheck,
+        "replayprof": replayprof, "gradcheck": gradcheck, "deepsweep": deepsweep,
     }[mode]()
