@@ -231,6 +231,7 @@ def trace_record_mega(
     seed,
     max_depth: int,
     interpret: bool = False,
+    radiance: bool = False,
 ):
     """Fast record pass through the persistent MEGAKERNEL (record mode).
 
@@ -241,7 +242,9 @@ def trace_record_mega(
     the staged loop's global lockstep barrier). Requires
     integrator.megakernel_supported(sd, cp).
 
-    Returns packed records (D, R) int32.
+    Returns packed records (D, R) int32; with ``radiance=True`` (the
+    fused record+radiance mode, r5) returns (rec, rad (R, 3)) — the
+    forward radiance accumulated by the same kernel loop.
     """
     _check_record_capacity(sd)
     from crucible_tpu.ops.pallas import megakernel as mk
@@ -269,7 +272,7 @@ def trace_record_mega(
         tri_nodes, tris, mats, tri_meta = integrator.make_tri_tables(sd)
     else:
         tri_nodes = tris = mats = tri_meta = None
-    _, rec = mk.run_megakernel_record(
+    acc, rec = mk.run_megakernel_record(
         smem,
         pix.reshape(1, r_pad),
         smp.reshape(1, r_pad),
@@ -284,7 +287,10 @@ def trace_record_mega(
         cam_animated=bool(cp.animated),
         tri_leaf=sd.bvh_leaf_size,
         interpret=interpret,
+        radiance=radiance,
     )
+    if radiance:
+        return rec[:, :r], acc[:, :r].T
     return rec[:, :r]
 
 
@@ -302,6 +308,18 @@ def _replay_kernel_mode() -> str:
     return "auto"
 
 
+def _use_replay_kernel(sd: SceneData) -> bool:
+    """Single routing predicate for the in-Pallas replay kernel."""
+    from crucible_tpu.ops.pallas import replay_kernel as _rk
+
+    mode = _replay_kernel_mode()
+    return (
+        mode != "off"
+        and _rk.supported(sd, int(sd.sph_center.shape[0]))
+        and (mode == "on" or backend.on_accelerator())
+    )
+
+
 def trace_replay(
     sd: SceneData,
     o,
@@ -317,6 +335,7 @@ def trace_replay(
     return_carry: bool = False,
     accum_from: int = 0,
     thr_mask=None,
+    rad_given=None,
 ):
     """Differentiable O(R * depth) replay of recorded decisions -> (R, 3).
 
@@ -349,21 +368,18 @@ def trace_replay(
     """
     from crucible_tpu.ops.pallas import replay_kernel as _rk
 
-    mode = _replay_kernel_mode()
     if (
-        mode != "off"
-        and not early_exit
+        not early_exit
         and not return_carry
         and bounce0 == 0
         and (thr_in is None or thr_mask is not None)
-        and _rk.supported(sd, int(sd.sph_center.shape[0]))
-        and (mode == "on" or backend.on_accelerator())
+        and _use_replay_kernel(sd)
     ):
         table = integrator.make_sphere_table(sd)
         return _rk.trace_replay_mega(
             table, o, d, pixel_ids, sample_ids, seed, rec[:max_depth],
             accum_from=accum_from, valid=thr_mask,
-            interpret=backend.pallas_interpret(),
+            interpret=backend.pallas_interpret(), rad_given=rad_given,
         )
     r = o.shape[0]
     table = integrator.make_sphere_table(sd)  # (N, 32), differentiable
@@ -856,7 +872,7 @@ RECORD_DEEP_DIV = 12
 def record_two_level(
     sd, cp, width, height, pixel_ids, sample_ids, seed, max_depth,
     head: int, div: int | None = None, interpret: bool = False,
-    record_mode: str = "auto",
+    record_mode: str = "auto", head_radiance: bool = False,
 ):
     """Two-level decision record: full width to ``head`` rows, then a
     NARROW re-record of only the surviving lanes to ``max_depth``.
@@ -894,16 +910,24 @@ def record_two_level(
             else "staged"
         )
 
-    def rec_pass(pix, smp, depth):
+    def rec_pass(pix, smp, depth, radiance=False):
         if record_mode == "mega":
             return trace_record_mega(
                 sd, cp, width, height, pix, smp, seed, depth,
-                interpret=interpret,
+                interpret=interpret, radiance=radiance,
             )
+        assert not radiance, "fused head radiance requires the megakernel"
         o, d, _ = generate_rays(cp, width, height, pix, smp, seed)
         return trace_record(sd, o, d, pix, smp, seed, depth)
 
-    rec_h = rec_pass(pixel_ids, sample_ids, head)
+    # Fused head (r5): the head record also accumulates the head rows'
+    # forward radiance in-kernel, replacing the gradient path's separate
+    # head replay-forward dispatch (run_megakernel_record radiance mode).
+    rad_h = None
+    if head_radiance and record_mode == "mega":
+        rec_h, rad_h = rec_pass(pixel_ids, sample_ids, head, radiance=True)
+    else:
+        rec_h = rec_pass(pixel_ids, sample_ids, head)
     cont = (rec_h[head - 1] & F_SCAT) > 0  # continued past the head rows
     n_deep = jnp.sum(cont.astype(jnp.int32))
     rank = jnp.cumsum(cont.astype(jnp.int32)) - 1
@@ -927,12 +951,15 @@ def record_two_level(
         jnp.int32(2**30),
     ).astype(sample_ids.dtype)
     rec_n = rec_pass(pix_n, smp_n, max_depth)
+    if head_radiance:
+        return rec_h, rec_n, idx_n, valid_n, n_deep, rad_h
     return rec_h, rec_n, idx_n, valid_n, n_deep
 
 
 def replay_bucketed_2l(
     sd, cp, width, height, o, d, pixel_ids, sample_ids, seed, max_depth,
     rec_h, rec_n, idx_n, valid_n, n_deep, *, spec=None, passes: int = 1,
+    rad_head=None,
 ):
     """Depth-bucketed replay over a TWO-LEVEL record (record_two_level).
 
@@ -946,7 +973,10 @@ def replay_bucketed_2l(
     head = rec_h.shape[0]
     assert lims[0] == head, (lims, head)
     r = o.shape[0]
-    rad = trace_replay(sd, o, d, pixel_ids, sample_ids, seed, head, rec_h)
+    rad = trace_replay(
+        sd, o, d, pixel_ids, sample_ids, seed, head, rec_h,
+        rad_given=rad_head,
+    )
     if len(lims) == 1:
         return rad
     r_n = rec_n.shape[1]
@@ -1141,43 +1171,65 @@ def render_rays_replay(
         and os.environ.get("CRUCIBLE_GRAD_DEEP_IMPL") != "split"
         and os.environ.get("CRUCIBLE_GRAD_2L", "1") not in ("0", "off", "false")
     )
+    fused = record_mode == "mega" and rec is None and _use_replay_kernel(sd)
     if use_2l:
         # Two-level record + bucketed replay: full-width head record plus a
         # narrow re-record of the deep survivors — the full-width deep
         # record was the dominant cost of deep chunks (per-tile exit cannot
         # help when rare deep lanes land in nearly every tile; see
-        # record_two_level).
+        # record_two_level). When the in-Pallas replay kernel is routable,
+        # the head record FUSES the head radiance in-kernel (r5) so the
+        # head replay-forward dispatch disappears.
         lims, _ = _bucket_spec(max_depth, spec)
-        rec_h, rec_n, idx_n, valid_n, n_deep = record_two_level(
+        out = record_two_level(
             jax.lax.stop_gradient(sd),
             jax.lax.stop_gradient(cp),
             width, height, pixel_ids, sample_ids, seed, max_depth,
             head=lims[0], div=record_div,
             interpret=backend.pallas_interpret(),
-            record_mode=record_mode,
+            record_mode=record_mode, head_radiance=fused,
         )
+        if fused:
+            rec_h, rec_n, idx_n, valid_n, n_deep, rad_h = out
+        else:
+            rec_h, rec_n, idx_n, valid_n, n_deep = out
+            rad_h = None
         return replay_bucketed_2l(
             sd, cp, width, height, o, d, pixel_ids, sample_ids, seed,
             max_depth, rec_h, rec_n, idx_n, valid_n, n_deep, spec=spec,
+            rad_head=rad_h,
         )
     # The record pass produces only integers, but its interior (early-exit
     # while_loop, raw Pallas intersection) must not carry tangents at all —
     # while_loop has no linearization with unknown primals and the fused
     # kernel has no JVP rule. Detach every float input.
+    rad_mega = None
     if rec is not None:
         pass  # precomputed (frozen-decision training): skip the record pass
     elif record_mode == "mega":
-        rec = trace_record_mega(
-            jax.lax.stop_gradient(sd),
-            jax.lax.stop_gradient(cp),
-            width,
-            height,
-            pixel_ids,
-            sample_ids,
-            seed,
-            max_depth,
-            interpret=backend.pallas_interpret(),
-        )
+        if fused and not split:
+            # Fused record+radiance (r5): the unsplit gradient path's
+            # forward IS the record pass — the kernel accumulates radiance
+            # while streaming decisions; the in-Pallas backward
+            # differentiates from the records alone.
+            rec, rad_mega = trace_record_mega(
+                jax.lax.stop_gradient(sd),
+                jax.lax.stop_gradient(cp),
+                width, height, pixel_ids, sample_ids, seed, max_depth,
+                interpret=backend.pallas_interpret(), radiance=True,
+            )
+        else:
+            rec = trace_record_mega(
+                jax.lax.stop_gradient(sd),
+                jax.lax.stop_gradient(cp),
+                width,
+                height,
+                pixel_ids,
+                sample_ids,
+                seed,
+                max_depth,
+                interpret=backend.pallas_interpret(),
+            )
     else:
         rec = trace_record(
             jax.lax.stop_gradient(sd),
@@ -1191,7 +1243,8 @@ def render_rays_replay(
         )
     if not split:
         return trace_replay(
-            sd, o, d, pixel_ids, sample_ids, seed, max_depth, rec
+            sd, o, d, pixel_ids, sample_ids, seed, max_depth, rec,
+            rad_given=rad_mega,
         )
     if os.environ.get("CRUCIBLE_GRAD_DEEP_IMPL") == "split":
         # The r3 head/tail carry-handoff split, kept reachable for A/B

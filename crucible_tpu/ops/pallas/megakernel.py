@@ -189,14 +189,18 @@ def _unit_f32(u):
 CLUSTER = int(_os.environ.get("CRUCIBLE_CLUSTER", "256"))
 _FAR = np.float32(1.0e30)  # empty-chunk sentinel: a far point box never hits
 # Chunks per SUPERCLUSTER: a second bounding level over the cluster chunks
-# (VERDICT r4 #3). The flat chunk scan is linear — at 7808 rows (31 chunks)
-# every tile-iteration pays 31 slab batches + 31 conds even when the rays
-# can only reach a couple of grid cells. One coarse slab over each group of
-# SUPER consecutive chunks (the recursive median split makes consecutive
-# chunks spatially tight) gates the whole group behind one cond — the
-# O(log N)-flavored skip the reference gets from its BVH
-# (src/objects/bvhwrapper.rs:46-80). Engages when n_chunks > SUPER.
-SUPER = int(_os.environ.get("CRUCIBLE_SUPER", "8"))
+# (VERDICT r4 #3) — one coarse slab over each group of SUPER consecutive
+# chunks gates the group's per-chunk slabs/conds behind one cond.
+# MEASURED NEGATIVE on v5e (r5, sphere_stress n7808/31 chunks,
+# 400w/32spp/d50): flat 1.80 Mrays/s vs SUPER=8 1.58 vs SUPER=4 1.58 —
+# after a few bounces the tile's rays decohere and reach most of the
+# scene, so the group predicates nearly always fire and the extra conds
+# are pure overhead (the same cond-economics as the r4 teapot sweep).
+# Tile-granular culling is the binding constraint, not scan depth; a
+# per-LANE sphere BVH is the structure that would change it. DISABLED by
+# default (0); set CRUCIBLE_SUPER=k to re-engage for scenes with tighter
+# primary-ray locality. Bit-identity is tested either way.
+SUPER = int(_os.environ.get("CRUCIBLE_SUPER", "0")) or (1 << 30)
 
 
 def cluster_spheres(center, radius, active, center_d=None, radius_d=None):
@@ -299,6 +303,7 @@ def _kernel(
     rec_depth: int = 0,
     tri_moving: bool = False,
     n_super: int = 0,
+    rec_radiance: bool = False,
 ):
     rest = list(rest)
     cbounds_ref = rest.pop(0) if n_chunks else None
@@ -341,7 +346,13 @@ def _kernel(
     # radiance, which the jnp replay recomputes. The per-column one-hot
     # fetch is ~2/3 of an iteration's VPU work, so trimming 18 -> 8 columns
     # is the main record-pass speedup (VERDICT r2 #2).
-    if rec_depth:
+    # FUSED record+radiance (rec_radiance, r5): the record pass recomputes
+    # every decision anyway, so accumulating the forward radiance in the
+    # same loop costs only the full attribute fetch (MXU) + shading tail —
+    # and saves the gradient path its entire separate replay-forward
+    # dispatch (the in-Pallas backward kernel differentiates the SAME
+    # estimator from the streamed records; ops/pallas/replay_kernel.py).
+    if rec_depth and not rec_radiance:
         attr_cols = [0, 1, 2, 3, 6, 7, 8, 9] + (
             [24, 25, 26, 27] if animated else []
         )
@@ -1011,7 +1022,7 @@ def _kernel(
             # share one material row each, ids are few) via a tiny one-hot.
             mrows = jax.lax.broadcasted_iota(jnp.int32, (n_mats, TILE), 0)
             mwin = (mrows == tmid.astype(jnp.int32)) & is_tri
-            for c in range(6, 10) if rec_depth else range(6, 24):
+            for c in range(6, 10) if (rec_depth and not rec_radiance) else range(6, 24):
                 mval = jnp.sum(
                     jnp.where(mwin, mats_ref[:, c - 6 : c - 5], 0.0),
                     axis=0, keepdims=True,
@@ -1047,9 +1058,10 @@ def _kernel(
         # --- sky (default gradient) + emission ------------------------------
         # True sqrt + divide: bit-matches utils/vec.py::unit(d, eps=1e-20).
         dlen = jnp.maximum(jnp.sqrt(a_q), 1e-20)
-        if not rec_depth:
-            # Radiance/albedo/attenuation are replay-side in record mode —
-            # only dlen (dielectric unit direction) is decision-relevant.
+        if not rec_depth or rec_radiance:
+            # Radiance/albedo/attenuation are replay-side in plain record
+            # mode — only dlen (dielectric unit direction) is
+            # decision-relevant. The fused rec_radiance mode keeps them.
             sky_a = 0.5 * (dy / dlen + 1.0)
             one_m_a = 1.0 - sky_a
             skyr = one_m_a + sky_a * 0.5
@@ -1146,7 +1158,7 @@ def _kernel(
         ndx = jnp.where(is_diel, diex, jnp.where(is_metal, metx, lamx))
         ndy = jnp.where(is_diel, diey, jnp.where(is_metal, mety, lamy))
         ndz = jnp.where(is_diel, diez, jnp.where(is_metal, metz, lamz))
-        if not rec_depth:
+        if not rec_depth or rec_radiance:
             atr = jnp.where(is_diel, 1.0, jnp.where(is_metal, alr, alr * inv_prob))
             atg = jnp.where(is_diel, 1.0, jnp.where(is_metal, alg, alg * inv_prob))
             atb = jnp.where(is_diel, 1.0, jnp.where(is_metal, alb, alb * inv_prob))
@@ -1202,7 +1214,7 @@ def _kernel(
                 jnp.where(hit_rec, win_id, jnp.int32(0)) * jnp.int32(256)
                 + flags_rec
             )
-        else:
+        if not rec_depth or rec_radiance:
             tx = jnp.where(cont, tx * atr, tx)
             ty = jnp.where(cont, ty * atg, ty)
             tz = jnp.where(cont, tz * atb, tz)
@@ -1371,7 +1383,8 @@ def run_megakernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "max_depth", "animated", "cam_animated", "tri_leaf", "t_min", "interpret",
+        "max_depth", "animated", "cam_animated", "tri_leaf", "t_min",
+        "interpret", "radiance",
     ),
 )
 def run_megakernel_record(
@@ -1391,14 +1404,18 @@ def run_megakernel_record(
     tri_leaf: int = 4,
     t_min=1.0e-3,
     interpret: bool = False,
+    radiance: bool = False,
 ):
     """RECORD-MODE megakernel dispatch (models/replay.py's fast forward).
 
     Each lane traces exactly one (pixel, sample) path; per-bounce discrete
     decisions stream to HBM as ONE packed int32 per (bounce, lane): winner
     id * 256 + flag byte (models/replay.py F_* layout). Returns
-    (radiance (3, R) — zeros: record mode skips radiance, the replay owns
-    it; rec (D, R) int32 packed records, bit-compatible with trace_record).
+    (radiance (3, R) — zeros unless ``radiance=True``, which runs the
+    FUSED record+radiance mode: the same loop also accumulates each
+    lane's forward radiance, saving the gradient path its separate
+    replay-forward dispatch (r5); rec (D, R) int32 packed records,
+    bit-compatible with trace_record either way).
     Cluster culling is not supported here (records hold UNPERMUTED ids).
     """
     r = pix.shape[1]
@@ -1445,6 +1462,7 @@ def run_megakernel_record(
         n_tri_nodes=n_tri_nodes, tri_leaf=tri_leaf, n_mats=n_mats,
         rec_depth=max_depth,
         tri_moving=bool(tri_nodes is not None and tris.shape[1] == 32),
+        rec_radiance=radiance,
     )
     grid = (r // TILE,)
     acc, rec = pl.pallas_call(

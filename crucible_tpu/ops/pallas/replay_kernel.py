@@ -539,6 +539,31 @@ def _build(depth: int, accum_from: int, n: int, interpret: bool):
         return gtab, go3, gd3, None, None, None, None, None
 
     replay.defvjp(replay_fwd, replay_bwd)
+
+    # GIVEN-forward variant (the fused record+radiance path, r5): the
+    # megakernel's record pass already accumulated this batch's forward
+    # radiance in-kernel (run_megakernel_record(radiance=True)), so the
+    # primal here is just that value — no forward kernel dispatch — while
+    # the backward kernel differentiates the same frozen-decision
+    # estimator from the records. The primal differs from the backward's
+    # own recomputation only by f32/FMA association (both are valid values
+    # of the same estimator).
+    @jax.custom_vjp
+    def replay_given(table, o3, d3, valid, pix, smp, rec, smem, rad3):
+        return rad3
+
+    def replay_given_fwd(table, o3, d3, valid, pix, smp, rec, smem, rad3):
+        return rad3, (table, o3, d3, valid, pix, smp, rec, smem)
+
+    def replay_given_bwd(res, g_rad):
+        table, o3, d3, valid, pix, smp, rec, smem = res
+        gtab, go3, gd3 = bwd_call(
+            table, o3, d3, valid, pix, smp, rec, smem, g_rad
+        )
+        return gtab, go3, gd3, None, None, None, None, None, None
+
+    replay_given.defvjp(replay_given_fwd, replay_given_bwd)
+    replay.given = replay_given
     return replay
 
 
@@ -554,6 +579,7 @@ def trace_replay_mega(
     accum_from: int = 0,
     valid=None,  # (R,) bool initial-throughput mask (None = all live)
     interpret: bool = False,
+    rad_given=None,  # (R, 3) precomputed forward radiance (fused record)
 ):
     """Differentiable in-kernel replay -> radiance (R, 3).
 
@@ -601,5 +627,9 @@ def trace_replay_mega(
         jnp.asarray(seed, jnp.uint32).astype(jnp.int32)
     )
     fn = _build(depth, int(accum_from), n, bool(interpret))
-    rad = fn(table, o3, d3, valid_i, pix, smp, recp, smem)
+    if rad_given is not None:
+        rad3 = pad2(jax.lax.stop_gradient(rad_given)).T
+        rad = fn.given(table, o3, d3, valid_i, pix, smp, recp, smem, rad3)
+    else:
+        rad = fn(table, o3, d3, valid_i, pix, smp, recp, smem)
     return rad[:, :r].T

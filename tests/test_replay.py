@@ -1027,3 +1027,73 @@ class TestReplayKernel:
             _fd_vs_grad(demo.smoke_scene(width=32), "tex_color")
         finally:
             jax.clear_caches()
+
+
+class TestFusedRecordRadiance:
+    """Fused record+radiance forward (r5): run_megakernel_record with
+    radiance=True accumulates the forward radiance in the same loop that
+    streams decisions, and render_rays_replay routes its value through the
+    given-forward custom_vjp (no separate replay-forward dispatch). The
+    primal must match the staged/tiled reference statistically and the
+    gradients must match the non-fused kernel path through the loss
+    cotangent."""
+
+    def test_fused_routing_and_equivalence(self, monkeypatch):
+        monkeypatch.setenv("CRUCIBLE_REPLAY_KERNEL", "1")
+        jax.clear_caches()
+        try:
+            sc = demo.book1_end_scene(width=48)
+            sd = sc.build()
+            cp = sc.scene_cam.params()
+            w, h = 48, sc.scene_cam.image_height
+            pix = jnp.arange(w * h, dtype=jnp.uint32)
+            smp = jnp.zeros((w * h,), jnp.uint32)
+            seed = jnp.uint32(3)
+            for depth in (8, 16):  # unsplit + two-level bucketed
+                # Fused forward value == the record kernel's own radiance.
+                rec, rad_mega = replay_mod.trace_record_mega(
+                    sd, cp, w, h, pix, smp, seed, depth,
+                    interpret=True, radiance=True,
+                )
+                got = replay_mod.render_rays_replay(
+                    sd, cp, w, h, pix, smp, seed, depth, record_mode="mega"
+                )
+                ref = integrator.trace(
+                    sd,
+                    *generate_rays(cp, w, h, pix, smp, seed)[:2],
+                    pix, smp, seed, depth,
+                )
+                got, ref = np.asarray(got), np.asarray(ref)
+                assert np.isfinite(got).all()
+                np.testing.assert_allclose(
+                    got.mean(0), ref.mean(0), rtol=2e-3, atol=2e-3
+                )
+                # Records from the radiance mode are bit-identical to the
+                # plain record mode (the decision math is untouched).
+                rec_plain = replay_mod.trace_record_mega(
+                    sd, cp, w, h, pix, smp, seed, depth, interpret=True
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(rec), np.asarray(rec_plain)
+                )
+
+                # Gradients: fused vs non-fused kernel path agree to the
+                # loss-cotangent tolerance (the primal differs by mega-t vs
+                # replay-t f32 association, ~1e-3 relative).
+                def loss(sd_, fused):
+                    mode = "mega" if fused else "staged"
+                    r = replay_mod.render_rays_replay(
+                        sd_, cp, w, h, pix, smp, seed, depth,
+                        record_mode=mode,
+                    )
+                    return jnp.mean(r ** 2)
+
+                gf = jax.grad(lambda s: loss(s, True), allow_int=True)(sd)
+                gr = jax.grad(lambda s: loss(s, False), allow_int=True)(sd)
+                for name in ("mat_emission",):
+                    a = np.asarray(getattr(gf, name))
+                    b = np.asarray(getattr(gr, name))
+                    scale = max(float(np.abs(b).max()), 1e-6)
+                    assert float(np.abs(a - b).max()) / scale < 0.02, name
+        finally:
+            jax.clear_caches()
