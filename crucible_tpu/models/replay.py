@@ -232,6 +232,7 @@ def trace_record_mega(
     max_depth: int,
     interpret: bool = False,
     radiance: bool = False,
+    accum_from: int = 0,
 ):
     """Fast record pass through the persistent MEGAKERNEL (record mode).
 
@@ -264,7 +265,8 @@ def trace_record_mega(
             jnp.asarray(seed, jnp.uint32).astype(jnp.int32),
             jnp.int32(width),
             jnp.asarray(max_depth, jnp.int32),
-            jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+            jnp.int32(accum_from),  # fused-radiance accumulation floor
+            jnp.int32(0), jnp.int32(0), jnp.int32(0),
         ]
     )
     table = integrator.make_sphere_table(sd)
@@ -910,11 +912,12 @@ def record_two_level(
             else "staged"
         )
 
-    def rec_pass(pix, smp, depth, radiance=False):
+    def rec_pass(pix, smp, depth, radiance=False, accum_from=0):
         if record_mode == "mega":
             return trace_record_mega(
                 sd, cp, width, height, pix, smp, seed, depth,
                 interpret=interpret, radiance=radiance,
+                accum_from=accum_from,
             )
         assert not radiance, "fused head radiance requires the megakernel"
         o, d, _ = generate_rays(cp, width, height, pix, smp, seed)
@@ -950,16 +953,24 @@ def record_two_level(
         jnp.take(sample_ids, idx_n, axis=0).astype(jnp.int32),
         jnp.int32(2**30),
     ).astype(sample_ids.dtype)
+    if head_radiance and record_mode == "mega":
+        # Fused narrow radiance too: the re-record accumulates rows >= head
+        # for the deep survivors, so the bucketed replay needs NO forward
+        # dispatches at all — bucket primal values gather from rad_n.
+        rec_n, rad_n = rec_pass(
+            pix_n, smp_n, max_depth, radiance=True, accum_from=head
+        )
+        return rec_h, rec_n, idx_n, valid_n, n_deep, rad_h, rad_n
     rec_n = rec_pass(pix_n, smp_n, max_depth)
     if head_radiance:
-        return rec_h, rec_n, idx_n, valid_n, n_deep, rad_h
+        return rec_h, rec_n, idx_n, valid_n, n_deep, rad_h, None
     return rec_h, rec_n, idx_n, valid_n, n_deep
 
 
 def replay_bucketed_2l(
     sd, cp, width, height, o, d, pixel_ids, sample_ids, seed, max_depth,
     rec_h, rec_n, idx_n, valid_n, n_deep, *, spec=None, passes: int = 1,
-    rad_head=None,
+    rad_head=None, rad_narrow=None,
 ):
     """Depth-bucketed replay over a TWO-LEVEL record (record_two_level).
 
@@ -1006,10 +1017,22 @@ def replay_bucketed_2l(
             pix_b = jnp.take(pixel_ids, lane_b, axis=0)
             smp_b = jnp.take(sample_ids, lane_b, axis=0)
             o_b, d_b, _ = generate_rays(cp, width, height, pix_b, smp_b, seed)
+            rad_b_given = None
+            if rad_narrow is not None:
+                # Fused bucket primal: the narrow re-record already
+                # accumulated rows >= head per survivor (rows past a
+                # lane's depth are dead), so the bucket's forward value
+                # is a gather — no replay-forward dispatch.
+                rad_b_given = jnp.where(
+                    valid_b[:, None],
+                    jnp.take(rad_narrow, idx_b, axis=0),
+                    0.0,
+                )
             rad_b = trace_replay(
                 sd, o_b, d_b, pix_b, smp_b, seed, dj,
                 jnp.take(rec_n[:dj], idx_b, axis=1),
                 thr_in=thr0, accum_from=head, thr_mask=valid_b,
+                rad_given=rad_b_given,
             )
             rad = rad.at[lane_b].add(
                 jnp.where(valid_b[:, None], rad_b, 0.0), mode="drop"
@@ -1190,14 +1213,14 @@ def render_rays_replay(
             record_mode=record_mode, head_radiance=fused,
         )
         if fused:
-            rec_h, rec_n, idx_n, valid_n, n_deep, rad_h = out
+            rec_h, rec_n, idx_n, valid_n, n_deep, rad_h, rad_n = out
         else:
             rec_h, rec_n, idx_n, valid_n, n_deep = out
-            rad_h = None
+            rad_h = rad_n = None
         return replay_bucketed_2l(
             sd, cp, width, height, o, d, pixel_ids, sample_ids, seed,
             max_depth, rec_h, rec_n, idx_n, valid_n, n_deep, spec=spec,
-            rad_head=rad_h,
+            rad_head=rad_h, rad_narrow=rad_n,
         )
     # The record pass produces only integers, but its interior (early-exit
     # while_loop, raw Pallas intersection) must not carry tangents at all —

@@ -61,9 +61,16 @@ from jax.experimental.pallas import tpu as pltpu
 import numpy as np
 
 BIG = np.float32(3.0e38)
-TILE = 512
-C_IN = 32  # sphere attribute table columns (sphere_shade.py layout)
 import os as _os
+
+# Rays per persistent-kernel tile (lanes per grid step). 512 is the
+# shipped default; CRUCIBLE_TILE overrides at import for per-scene
+# experiments (smaller tiles = more spatial coherence per tile -> fewer
+# union leaves in the mesh walk, but more grid steps; VERDICT r4 #2's
+# per-scene-TILE lever). Must be a multiple of 128 (vreg lane width).
+TILE = int(_os.environ.get("CRUCIBLE_TILE", "512"))
+assert TILE % 128 == 0, "TILE must be a multiple of 128 lanes"
+C_IN = 32  # sphere attribute table columns (sphere_shade.py layout)
 
 # BVH nodes slab-tested per traversal iteration (one (W,T) batch).
 # Env-overridable for bench sweeps (tools/tpu_bench.py teapotx).
@@ -1070,9 +1077,17 @@ def _kernel(
             cr = jnp.where(hit, fetch(10), skyr)
             cg = jnp.where(hit, fetch(11), skyg)
             cb = jnp.where(hit, fetch(12), skyb)
-            ax = ax + jnp.where(alive, tx * cr, 0.0)
-            ay = ay + jnp.where(alive, ty * cg, 0.0)
-            az = az + jnp.where(alive, tz * cb, 0.0)
+            if rec_radiance:
+                # Rows below smem[4] update the carry only — the narrow
+                # re-record's fused radiance starts at the head boundary
+                # (replay_bucketed's accum_from contract); 0 for the
+                # head/unsplit calls.
+                acc_live = alive & (bounce >= smem_ref[4])
+            else:
+                acc_live = alive
+            ax = ax + jnp.where(acc_live, tx * cr, 0.0)
+            ay = ay + jnp.where(acc_live, ty * cg, 0.0)
+            az = az + jnp.where(acc_live, tz * cb, 0.0)
 
             # --- albedo: solid or 3-D checker of solids (models/textures.py)
             inv_scale = fetch(17)
