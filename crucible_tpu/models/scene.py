@@ -28,7 +28,16 @@ from crucible_tpu.io.obj import load_obj
 
 # Brute-force triangle intersection below this count; BVH above.
 BVH_MIN_TRIS = 64
-SPHERE_PAD = 128  # pad sphere count to a lane-aligned multiple
+# Sphere-table row padding. The pallas kernels only need a SUBLANE (8)
+# multiple (ops/pallas/sphere_hit.py); 128 was conservative and taxed
+# mesh scenes: the teapot carries ~2 real spheres but every megakernel
+# iteration paid a 128-row quadratic. Measured on v5e (r5): teapot
+# 400w/32spp/d50 4.52 -> 4.92 Mrays/s with pad 8 (+9%, image mean
+# identical); sphere scenes unaffected (book1's 484 rows land near 512
+# either way).
+import os as _os
+
+SPHERE_PAD = int(_os.environ.get("CRUCIBLE_SPHERE_PAD", "8"))
 
 
 # --------------------------------------------------------------------------

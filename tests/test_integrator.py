@@ -229,7 +229,7 @@ class TestRendererModes:
         sd = sc.build()
         cp = sc.scene_cam.params()
         w, h = sc.scene_cam.image_width, sc.scene_cam.image_height
-        assert sd.sph_center.shape[0] >= 2048
+        assert sd.sph_center.shape[0] >= 1536  # multi-tile (pad-8: 1936)
         plain = render.render_image_persistent(
             sd, cp, w, h, 2, 4, 0, schedule="mega", cull=False
         )
