@@ -885,6 +885,9 @@ def trace_persistent_mega(
     interpret: bool = False,
     cluster_perm=None,  # (N_pad,) int32 from megakernel.cluster_spheres
     cluster_bounds=None,  # (K, 8) f32 chunk AABBs (enables chunk culling)
+    sphere_nodes=None,  # (K, 16) f32 sphere-BVH boxes (sphere_bvh_tables;
+    #                     cluster_perm then carries the BVH-leaf-order perm)
+    sphere_meta=None,  # (3*(K+W),) i32 sphere-BVH node metadata
     swizzle: bool = True,
     row0=0,  # first image row this call renders (traced ok) — sharding
     band_height: int | None = None,  # rows this call renders (default: all)
@@ -957,7 +960,7 @@ def trace_persistent_mega(
         ]
     )
     table = make_sphere_table(sd)
-    if cluster_bounds is not None:
+    if cluster_perm is not None:
         n_pad = cluster_perm.shape[0]
         if n_pad > table.shape[0]:
             table = jnp.pad(table, ((0, n_pad - table.shape[0]), (0, 0)))
@@ -968,9 +971,10 @@ def trace_persistent_mega(
         tri_nodes = tris = mats = tri_meta = None
     acc = mk.run_megakernel(
         smem, pix, sample0, cam, table, cluster_bounds,
+        sphere_nodes, sphere_meta,
         tri_nodes, tris, mats, tri_meta,
         animated=bool(sd.animated), cam_animated=bool(cp.animated),
-        tri_leaf=sd.bvh_leaf_size,
+        tri_leaf=sd.bvh_leaf_size, sph_leaf=mk.SPH_LEAF,
         interpret=interpret,
     )
     if lane_of is not None:

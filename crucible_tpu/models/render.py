@@ -15,6 +15,7 @@ checkpoint/resume (an extension the reference lacks, SURVEY.md §5).
 
 from __future__ import annotations
 
+import os
 import math
 import shutil
 import subprocess
@@ -98,6 +99,8 @@ def _render_persistent(
     sample_start,  # traced uint32 — renders samples [sample_start, spp)
     cluster_perm=None,  # megakernel chunk culling (built host-side)
     cluster_bounds=None,
+    sphere_nodes=None,  # per-LANE sphere BVH (sphere_bvh_tables)
+    sphere_meta=None,
     *,
     width: int,
     height: int,
@@ -112,6 +115,8 @@ def _render_persistent(
             interpret=backend.pallas_interpret(),
             cluster_perm=cluster_perm,
             cluster_bounds=cluster_bounds,
+            sphere_nodes=sphere_nodes,
+            sphere_meta=sphere_meta,
             sample_start=sample_start,
         )
     fn = (
@@ -234,19 +239,43 @@ def render_image_persistent(
     if cull:
         from crucible_tpu.ops.pallas import megakernel as mk
 
-        perm, cbounds = mk.cluster_spheres(
-            np.asarray(sd.sph_center), np.asarray(sd.sph_radius),
-            np.asarray(sd.sph_active),
-            center_d=(
-                np.asarray(sd.sph_center_d) if sd.sph_center_d is not None else None
-            ),
-            radius_d=(
-                np.asarray(sd.sph_radius_d) if sd.sph_radius_d is not None else None
-            ),
+        # Per-LANE sphere BVH (r5, sphere_bvh_tables) vs chunk-cond cull:
+        # the BVH walk skips subtrees per window where the chunk scan's
+        # tile-granular conds stopped paying (BASELINE.md r5). Static
+        # scenes only (animated bounds go stale; the cull path unions
+        # motion bounds). CRUCIBLE_SPHERE_BVH=0 restores the chunk scan.
+        use_sbvh = (
+            not sd.animated
+            and os.environ.get("CRUCIBLE_SPHERE_BVH", "1").lower()
+            not in ("0", "false", "off")
         )
-        cluster_args = dict(
-            cluster_perm=jnp.asarray(perm), cluster_bounds=jnp.asarray(cbounds)
-        )
+        if use_sbvh:
+            perm, snodes, smeta = mk.sphere_bvh_tables(
+                np.asarray(sd.sph_center), np.asarray(sd.sph_radius),
+                np.asarray(sd.sph_active),
+            )
+            cluster_args = dict(
+                cluster_perm=jnp.asarray(perm),
+                sphere_nodes=jnp.asarray(snodes),
+                sphere_meta=jnp.asarray(smeta),
+            )
+        else:
+            perm, cbounds = mk.cluster_spheres(
+                np.asarray(sd.sph_center), np.asarray(sd.sph_radius),
+                np.asarray(sd.sph_active),
+                center_d=(
+                    np.asarray(sd.sph_center_d)
+                    if sd.sph_center_d is not None else None
+                ),
+                radius_d=(
+                    np.asarray(sd.sph_radius_d)
+                    if sd.sph_radius_d is not None else None
+                ),
+            )
+            cluster_args = dict(
+                cluster_perm=jnp.asarray(perm),
+                cluster_bounds=jnp.asarray(cbounds),
+            )
     if schedule == "record":
         from crucible_tpu.models import replay as replay_mod
 

@@ -278,6 +278,71 @@ def cluster_spheres(center, radius, active, center_d=None, radius_d=None):
     return perm, bounds
 
 
+# Spheres per BVH leaf for the per-LANE sphere BVH walk (below).
+# Swept on v5e at n7808 (r5): leaf 32 -> 3.11, 64 -> 3.41, 96 -> 3.46,
+# **128 -> 3.61**, 256 -> 3.45 Mrays/s — like the mesh walk, the window
+# chase is leaf-serialized, so bigger leaves amortize the per-iteration
+# fixed cost until the masked quadratic rows dominate.
+SPH_LEAF = int(_os.environ.get("CRUCIBLE_SPH_LEAF", "128"))
+
+
+def sphere_bvh_tables(center, radius, active, leaf_size=None):
+    """Host-side per-LANE sphere BVH for the megakernel (r5).
+
+    The chunked cull scan is TILE-granular: a chunk's quadratic runs if ANY
+    of 512 lanes can hit it, and post-bounce ray decoherence makes that
+    predicate fire nearly always (the supercluster negative, BASELINE.md
+    r5). This builds the same flat skip-link BVH the mesh stage walks
+    (ops/bvh.py, SAH) over the ACTIVE sphere AABBs instead, so traversal
+    skips whole subtrees per tile-window — the per-ray O(log N) the
+    reference gets from src/objects/bvhwrapper.rs:46-80, vectorized over
+    the tile.
+
+    Returns (perm (N_pad,) int32 — BVH leaf order, inactive then padding
+    last, N_pad a CLUSTER multiple so the post-walk winner fetch reuses
+    the chunk-gated one-hot; snodes (K, 16) f32 slab boxes; smeta
+    (3*(K+NODE_WIN),) int32 [first, count, miss] + guard rows). Static
+    scenes only (animated bounds would go stale; the cull path unions
+    motion bounds instead).
+    """
+    if leaf_size is None:
+        leaf_size = SPH_LEAF
+    from crucible_tpu.ops import bvh as bvh_mod
+
+    center = np.asarray(center, np.float64)
+    radius = np.abs(np.asarray(radius, np.float64))
+    active = np.asarray(active).astype(bool)
+    n = center.shape[0]
+    ids = np.nonzero(active)[0]
+    assert ids.size > 0, "sphere BVH over an empty scene"
+    bbmin = (center[ids] - radius[ids, None]).astype(np.float32)
+    bbmax = (center[ids] + radius[ids, None]).astype(np.float32)
+    fb = bvh_mod.build_bvh(bbmin, bbmax, leaf_size=leaf_size, method="sah")
+    perm_act = ids[fb.perm]
+    inact = np.nonzero(~active)[0]
+    # One EXTRA CLUSTER block of zero-pad rows: the kernel's (SPH_LEAF, T)
+    # leaf block read at the last leaf's `first` must stay in bounds (the
+    # tris table does the same with tri_leaf pad rows); zero rows are
+    # inactive and never win.
+    assert leaf_size <= CLUSTER
+    n_pad = ((n + CLUSTER - 1) // CLUSTER) * CLUSTER + CLUSTER
+    # Indices >= n address zero pad rows the caller appends to the table.
+    perm = np.concatenate(
+        [perm_act, inact, np.arange(n, n_pad)]
+    ).astype(np.int32)
+    assert perm.shape[0] == n_pad
+    k = fb.num_nodes
+    snodes = np.zeros((k, 16), np.float32)
+    snodes[:, 0:3] = fb.node_min
+    snodes[:, 3:6] = fb.node_max
+    meta = np.stack(
+        [fb.node_first, fb.node_count, fb.node_miss], axis=1
+    ).astype(np.int32)
+    guard = np.broadcast_to(np.asarray([0, 0, k], np.int32), (NODE_WIN, 3))
+    smeta = np.concatenate([meta, guard]).reshape(-1)
+    return perm, snodes, smeta
+
+
 def _pad_tri_nodes(tri_nodes):
     """Append NODE_WIN guard rows so the windowed walk's (W, 16) block read
     at the last real node never runs off the VMEM block. Guard rows are an
@@ -311,10 +376,15 @@ def _kernel(
     tri_moving: bool = False,
     n_super: int = 0,
     rec_radiance: bool = False,
+    n_sph_nodes: int = 0,
+    sph_leaf: int = 64,
 ):
     rest = list(rest)
     cbounds_ref = rest.pop(0) if n_chunks else None
     sbounds_ref = rest.pop(0) if n_super else None
+    if n_sph_nodes:
+        snodes_ref = rest.pop(0)
+        smeta_ref = rest.pop(0)
     if n_tri_nodes:
         tnodes_ref, tris_ref, mats_ref, tmeta_ref = rest[:4]
         rest = rest[4:]
@@ -540,7 +610,193 @@ def _kernel(
             valid = (disc >= 0.0) & (ok0 | ok1) & (colf(5) > 0.0)
             return jnp.where(valid, root, BIG)
 
-        if n_chunks == 0:
+        if n_sph_nodes:
+            # --- per-LANE sphere BVH walk (r5; sphere_bvh_tables) ----------
+            # The mesh stage's windowed skip-link traversal with a batched
+            # (L, T) QUADRATIC leaf over the BVH-permuted sphere table in
+            # place of Möller–Trumbore. Replaces the chunk-cond scan whose
+            # tile-granular predicates stopped skipping once bounced rays
+            # decohere (the supercluster negative, BASELINE.md r5): subtree
+            # skips happen per WINDOW here, and winner attrs still come
+            # from the chunk-gated one-hot fetch below.
+            def ssafe_inv(dc):
+                return 1.0 / jnp.where(
+                    jnp.abs(dc) < 1e-30, jnp.where(dc >= 0, 1e-30, -1e-30), dc
+                )
+
+            sivx, sivy, sivz = ssafe_inv(dx), ssafe_inv(dy), ssafe_inv(dz)
+
+            def sleaf_fn(carry, first, count, bh):
+                tb2, ib2 = carry
+                # Table is padded by a zero CLUSTER block (inactive rows
+                # never win) so this never runs off the block.
+                blk = table_ref[pl.ds(first, sph_leaf), :]  # (L, 32)
+
+                def bc(c):
+                    return blk[:, c : c + 1]
+
+                cxk, cyk, czk = bc(0), bc(1), bc(2)
+                dck = cxk * dx + cyk * dy + czk * dz
+                ock = cxk * ox + cyk * oy + czk * oz
+                h = dck - d_dot_o
+                c_q = bc(4) - 2.0 * ock + o_sq
+                disc = h * h - a_q * c_q
+                sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+                root0 = (h - sqrtd) * inv_a
+                root1 = (h + sqrtd) * inv_a
+                ok0 = (root0 > t_min) & (root0 < BIG)
+                ok1 = (root1 > t_min) & (root1 < BIG)
+                root = jnp.where(ok0, root0, root1)
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (sph_leaf, TILE), 0
+                )
+                valid = (
+                    (disc >= 0.0)
+                    & (ok0 | ok1)
+                    & (bc(5) > 0.0)
+                    & bh
+                    & (rows < count)
+                )
+                th_m = jnp.where(valid, root, BIG)
+                tmin = jnp.min(th_m, axis=0, keepdims=True)
+                better = tmin < tb2
+                win_row = jnp.min(
+                    jnp.where(th_m == tmin, rows, jnp.int32(2**30)),
+                    axis=0, keepdims=True,
+                )
+                ib2 = jnp.where(better, first + win_row, ib2)
+                tb2 = jnp.where(better, tmin, tb2)
+                return tb2, ib2
+
+            def strav_cond(s):
+                return s[0] < n_sph_nodes
+
+            def strav_body(s):
+                c, tb, ib = s
+                blk = snodes_ref[pl.ds(c, NODE_WIN), :]  # (W, 16)
+                t0x = (blk[:, 0:1] - ox) * sivx
+                t1x = (blk[:, 3:4] - ox) * sivx
+                t0y = (blk[:, 1:2] - oy) * sivy
+                t1y = (blk[:, 4:5] - oy) * sivy
+                t0z = (blk[:, 2:3] - oz) * sivz
+                t1z = (blk[:, 5:6] - oz) * sivz
+                enter = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), t_min),
+                )
+                exitv = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                    jnp.minimum(jnp.maximum(t0z, t1z), tb),
+                )
+                bh_w = jnp.where((enter <= exitv) & alive, 1, 0)  # (W, T)
+
+                # Scalar cursor chase — same one-vector-sync structure as
+                # the mesh walk (hm bit packing + SMEM metadata).
+                cur = c
+                have = jnp.int32(0)
+                stop = jnp.int32(0)
+                firsts = [jnp.int32(0)] * MAX_LEAVES
+                counts = [jnp.int32(0)] * MAX_LEAVES
+                lf_rows = [jnp.int32(0)] * MAX_LEAVES
+                ah = jnp.max(bh_w, axis=1, keepdims=True)
+                wrow = jax.lax.broadcasted_iota(jnp.int32, (NODE_WIN, 1), 0)
+                pw = jnp.int32(1)
+                for i in range(1, NODE_WIN):
+                    pw = jnp.where(wrow == i, jnp.int32(1 << i), pw)
+                hm = jnp.sum(ah * pw, axis=0, keepdims=True)[0, 0]
+                for i in range(NODE_WIN):
+                    hit_i = (_srl(hm, i) & 1) > 0
+                    first_i = smeta_ref[3 * (c + i)]
+                    cnt_i = smeta_ref[3 * (c + i) + 1]
+                    miss_i = smeta_ref[3 * (c + i) + 2]
+                    at = (cur == c + i) & (stop == 0)
+                    hitleaf = at & hit_i & (cnt_i > 0)
+                    take = hitleaf & (have < MAX_LEAVES)
+                    for j in range(MAX_LEAVES):
+                        tj = hitleaf & (have == j)
+                        firsts[j] = jnp.where(tj, first_i, firsts[j])
+                        counts[j] = jnp.where(tj, cnt_i, counts[j])
+                        lf_rows[j] = jnp.where(tj, jnp.int32(i), lf_rows[j])
+                    stop = jnp.where(hitleaf & ~take, jnp.int32(1), stop)
+                    have = jnp.where(take, have + 1, have)
+                    nxt = jnp.where(hit_i, c + i + 1, miss_i)
+                    cur = jnp.where(at & (stop == 0), nxt, cur)
+                c_next = cur
+                lrows = jax.lax.broadcasted_iota(
+                    jnp.int32, (NODE_WIN, TILE), 0
+                )
+                carry1 = (tb, ib)
+                for j in range(MAX_LEAVES):
+                    bh_j = (
+                        jnp.max(
+                            jnp.where(lrows == lf_rows[j], bh_w, 0),
+                            axis=0, keepdims=True,
+                        )
+                        > 0
+                    )
+                    carry1 = jax.lax.cond(
+                        have > j,
+                        functools.partial(
+                            sleaf_fn, first=firsts[j], count=counts[j],
+                            bh=bh_j,
+                        ),
+                        lambda cc: cc,
+                        carry1,
+                    )
+                return (c_next,) + carry1
+
+            _, t, idx = jax.lax.while_loop(
+                strav_cond,
+                strav_body,
+                (jnp.int32(0), jnp.full((1, TILE), BIG),
+                 jnp.zeros((1, TILE), jnp.int32)),
+            )
+            hit = t[0:1, :] < BIG
+
+            # Winner fetch: chunk-gated one-hot over the permuted table
+            # (BVH leaf order is chunk-contiguous, so only winner chunks
+            # fire — same code shape as the cull branch's fetch loop).
+            n_rows = table_ref.shape[0]
+            win_chunk = idx // CLUSTER
+            vals = tuple(zeros for _ in attr_cols)
+            for k in range(n_rows // CLUSTER):
+                predf = jnp.max(
+                    jnp.where(hit & (win_chunk == k), 1, 0)
+                ) > 0
+
+                def sfetch_chunk(vs, k=k):
+                    rk_ = jax.lax.broadcasted_iota(
+                        jnp.int32, (CLUSTER, TILE), 0
+                    ) + k * CLUSTER
+                    win = (rk_ == idx) & hit
+                    if MXU_FETCH:
+                        res = _fetch_mm(
+                            win, k * CLUSTER, (k + 1) * CLUSTER
+                        )  # (32, T)
+                        return tuple(
+                            v + res[c : c + 1, :]
+                            for v, c in zip(vs, attr_cols)
+                        )
+                    return tuple(
+                        v
+                        + jnp.sum(
+                            jnp.where(
+                                win,
+                                table_ref[
+                                    k * CLUSTER : (k + 1) * CLUSTER,
+                                    c : c + 1,
+                                ],
+                                0.0,
+                            ),
+                            axis=0,
+                            keepdims=True,
+                        )
+                        for v, c in zip(vs, attr_cols)
+                    )
+
+                vals = jax.lax.cond(predf, sfetch_chunk, lambda v: v, vals)
+            attrs = dict(zip(attr_cols, vals))
+        elif n_chunks == 0:
             # Brute force over all N rows (small scenes / no clustering).
             t_all = quad_t(col)
             t = jnp.min(t_all, axis=0, keepdims=True)  # (1, T)
@@ -1273,7 +1529,10 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("animated", "cam_animated", "tri_leaf", "t_min", "interpret"),
+    static_argnames=(
+        "animated", "cam_animated", "tri_leaf", "sph_leaf", "t_min",
+        "interpret",
+    ),
 )
 def run_megakernel(
     smem,  # (8,) int32 [spp, seed, width, max_depth, 0...]
@@ -1282,6 +1541,8 @@ def run_megakernel(
     cam,  # (1, CAM_SIZE) f32
     table,  # (N, C_IN) f32 (cluster-permuted when cbounds is given)
     cbounds=None,  # (K, 8) f32 chunk AABBs (cluster_spheres) or None
+    sph_nodes=None,  # (K, 16) f32 sphere-BVH slab boxes (sphere_bvh_tables)
+    sph_meta=None,  # (3*(K+NODE_WIN),) i32 sphere-BVH [first,count,miss]
     tri_nodes=None,  # (K, 16) f32 flat BVH [lo3, hi3, legacy meta, pad]
     tris=None,  # (M, 16) f32 [v0(3), e1(3), e2(3), unit normal(3), mat_id, pad]
     mats=None,  # (NM, 24) f32 per-material shading cols (sphere cols 6..23)
@@ -1290,6 +1551,7 @@ def run_megakernel(
     animated: bool,
     cam_animated: bool = False,
     tri_leaf: int = 4,
+    sph_leaf: int = 64,
     t_min=1.0e-3,
     interpret: bool = False,
 ):
@@ -1336,6 +1598,27 @@ def run_megakernel(
                     (n_super, 8), lambda i: (0, 0), memory_space=pltpu.VMEM
                 )
             )
+    n_sph_nodes = 0
+    if sph_nodes is not None:
+        assert cbounds is None, "sphere BVH replaces chunk culling"
+        n_sph_nodes = sph_nodes.shape[0]
+        if n_sph_nodes > MAX_TRI_NODES:
+            raise ValueError(
+                f"sphere BVH has {n_sph_nodes} nodes > MAX_TRI_NODES="
+                f"{MAX_TRI_NODES} (sph_meta would exceed TPU SMEM); raise "
+                f"CRUCIBLE_SPH_LEAF"
+            )
+        assert n % CLUSTER == 0, (n, CLUSTER)  # chunk-gated winner fetch
+        assert sph_meta.shape == (3 * (n_sph_nodes + NODE_WIN),)
+        extra_in += [_pad_tri_nodes(sph_nodes), sph_meta]
+        extra_specs += [
+            pl.BlockSpec(
+                (n_sph_nodes + NODE_WIN, 16),
+                lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
     if tri_nodes is not None:
         n_tri_nodes = tri_nodes.shape[0]
         if n_tri_nodes > MAX_TRI_NODES:
@@ -1373,6 +1656,8 @@ def run_megakernel(
         n_tri_nodes=n_tri_nodes, tri_leaf=tri_leaf, n_mats=n_mats,
         tri_moving=bool(tri_nodes is not None and tris.shape[1] == 32),
         n_super=n_super,
+        n_sph_nodes=n_sph_nodes,
+        sph_leaf=sph_leaf,
     )
     grid = (r // TILE,)
     (acc,) = pl.pallas_call(

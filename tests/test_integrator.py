@@ -217,14 +217,16 @@ class TestRendererModes:
         )
         np.testing.assert_array_equal(np.asarray(plain), np.asarray(clustered))
 
-    def test_megakernel_cluster_culling_multitile(self):
-        """Culling bit-identity on a MULTI-TILE sphere table (the r3
-        verdict was N=512-only): sphere_stress at 2048 rows spans 4 tiles
-        whose chunks mostly sit far from most rays. Routed through the
-        render driver's cull flag (render_image_persistent builds the
-        clusters host-side)."""
+    @pytest.mark.parametrize("sbvh", ["0", "1"])
+    def test_megakernel_cluster_culling_multitile(self, sbvh, monkeypatch):
+        """Acceleration bit-identity on a MULTI-TILE sphere table: BOTH
+        large-scene paths — the chunk-cond cull scan (CRUCIBLE_SPHERE_BVH=0)
+        and the r5 per-LANE sphere BVH walk (default) — are pure skip
+        optimizations and must match the brute kernel exactly. Routed
+        through the render driver's cull flag (tables built host-side)."""
         from crucible_tpu.models import render
 
+        monkeypatch.setenv("CRUCIBLE_SPHERE_BVH", sbvh)
         sc = demo.sphere_stress(width=24, copies=4)
         sd = sc.build()
         cp = sc.scene_cam.params()
@@ -246,6 +248,7 @@ class TestRendererModes:
         from crucible_tpu.models import render
         from crucible_tpu.ops.pallas import megakernel as mk
 
+        monkeypatch.setenv("CRUCIBLE_SPHERE_BVH", "0")  # chunk-scan path
         sc = demo.sphere_stress(width=24, copies=4)
         sd = sc.build()
         cp = sc.scene_cam.params()
