@@ -57,6 +57,29 @@ TWO_PI = np.float32(2.0 * np.pi)
 # rows = 4 MB. Larger tables (sphere_stress 7808) keep the jnp replay.
 MAX_TABLE_ROWS = 2048
 
+# Table channels the bounce math reads (integrator.make_sphere_table
+# layout). Both kernel layouts materialize exactly these rows.
+USED = (
+    0, 1, 2, 3, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17,
+    18, 19, 20, 21, 22, 23,
+)
+NUSE = len(USED)
+
+# Lane-BLOCKED layout (r5 final): per-lane state shaped (SUB, LANES) — one
+# full f32 vreg per quantity — instead of (1, TILE) rows that occupy 4
+# vregs at 1/8 sublane occupancy. Elementwise bounce math is the kernel's
+# bound (CLAUDE.md), so full vregs are ~4x fewer VPU instructions per lane.
+SUB = 8
+LANES = 128
+BTILE = SUB * LANES
+
+
+def _blocked_default() -> bool:
+    import os
+
+    v = os.environ.get("CRUCIBLE_REPLAY_BLOCKED", "1").lower()
+    return v not in ("0", "false", "off")
+
 
 def supported(sd, n_rows: int) -> bool:
     """Static predicate: can this scene's replay run in-kernel?"""
@@ -94,13 +117,21 @@ def _uniform3(pix, smp, stream, seed):
     return _unit_f32(x), _unit_f32(y), _unit_f32(z)
 
 
-def _bounce(carry, srow, dec, u1, u2, u_dec, accumulate: bool):
-    """One replay bounce on (1, T) component rows.
+def _ch_from_srow(srow):
+    """(32, T) fetched winner rows -> channel dict (the _bounce input)."""
+    return {c: srow[c : c + 1, :] for c in USED}
+
+
+def _bounce(carry, ch, dec, u1, u2, u_dec, accumulate: bool):
+    """One replay bounce on per-lane component blocks.
 
     Op-for-op mirror of trace_replay's scan step (sphere fast path) +
     materials.scatter with forced decisions, so per-lane values bit-match
-    the jnp replay. `srow` (32, T) is the differentiable winner-row fetch;
-    `dec` carries the frozen decisions (integers — no tangents).
+    the jnp replay. ``ch`` maps table channel -> differentiable winner
+    values with the lane shape of the carry ((1, T) rows in the legacy
+    layout, (SUB, LANES) blocks in the lane-blocked layout — the per-lane
+    op sequence is identical either way); `dec` carries the frozen
+    decisions (integers — no tangents).
 
     Returns (carry', (dr, dg, db)) — the radiance increments are zeros
     rows when ``accumulate`` is False (a bucket re-walking its head rows;
@@ -109,7 +140,7 @@ def _bounce(carry, srow, dec, u1, u2, u_dec, accumulate: bool):
     ox, oy, oz, dx, dy, dz, tx, ty, tz = carry
 
     def row(c):
-        return srow[c : c + 1, :]
+        return ch[c]
 
     hit, cont, front = dec["hit"], dec["cont"], dec["front"]
 
@@ -313,7 +344,7 @@ def _fwd_kernel(
         dec = _decode(word)
         _, srow = _fetch(table3, dec["idx"], n)
         u1, u2, ud = _uniform3(pix, smp, STREAM_BOUNCE_BASE + it, seed)
-        return _bounce(carry, srow, dec, u1, u2, ud, accumulate)
+        return _bounce(carry, _ch_from_srow(srow), dec, u1, u2, ud, accumulate)
 
     # Head rows below accum_from update the carry only (bucket re-walk).
     carry = jax.lax.fori_loop(
@@ -384,7 +415,7 @@ def _bwd_kernel(
         _, srow = _fetch(table3, dec["idx"], n)
         srow_scratch[pl.ds(it * C_IN, C_IN), :] = srow
         # accumulate=False everywhere: phase 1 only needs the carries.
-        carry, _ = _bounce(carry, srow, dec, u1, u2, ud, False)
+        carry, _ = _bounce(carry, _ch_from_srow(srow), dec, u1, u2, ud, False)
         return carry
 
     jax.lax.fori_loop(0, depth, fwd_body, carry0)
@@ -406,7 +437,7 @@ def _bwd_kernel(
         carry_in = tuple(
             carry_scratch[k][pl.ds(it, 1), :] for k in range(9)
         )
-        f = lambda c, s: _bounce(c, s, dec, u1, u2, ud, acc)
+        f = lambda c, s: _bounce(c, _ch_from_srow(s), dec, u1, u2, ud, acc)
         _, vjp_f = jax.vjp(f, carry_in, srow)
         g_in, g_srow = vjp_f((g_carry, g_rad if acc else zero_rad))
         # Table cotangent: one-hot x 3-way-split(g_srow) — three bf16
@@ -567,6 +598,327 @@ def _build(depth: int, accum_from: int, n: int, interpret: bool):
     return replay
 
 
+# ---------------------------------------------------------------------------
+# Lane-BLOCKED layout (r5 final): state as (SUB, LANES) full-vreg blocks.
+#
+# The legacy kernel's (1, TILE) rows occupy 4 vregs each with 1 of 8
+# sublanes live, and the elementwise bounce math — not the MXU fetch — is
+# the kernel's measured bound (CLAUDE.md; replayprof). Blocking 1024 lanes
+# as (8, 128) makes every per-lane op a single full vreg instruction. The
+# price is the fetch: the one-hot contraction runs once per sublane row
+# ((N,32)x(N,128) -> (32,128), same total MACs) and the 22 used channels
+# are assembled into (8, 128) blocks by sublane concatenation (and the
+# table cotangent disassembled the same way in reverse).
+# ---------------------------------------------------------------------------
+
+
+def _onehot_l(idx_row, n):
+    """(1, LANES) winner ids -> (n, LANES) f32 one-hot."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 0)
+    return jnp.where(rows == idx_row, 1.0, 0.0)
+
+
+def _fetch_blk(table3, idx, n):
+    """Winner channels for a (SUB, LANES) lane block.
+
+    Same exact arithmetic as `_fetch` (3-way split table, one nonzero
+    product per output, exact 3-term f32 reconstruction) applied per
+    sublane row, so per-lane values are bit-identical to the legacy
+    layout's fetch."""
+    hi, mid, lo = table3
+    parts = []
+    for k in range(SUB):
+        ohb = _onehot_l(idx[k : k + 1, :], n).astype(jnp.bfloat16)
+        parts.append(
+            (_dot_nt(hi, ohb) + _dot_nt(mid, ohb)) + _dot_nt(lo, ohb)
+        )
+    return {
+        c: jnp.concatenate(
+            [parts[k][c : c + 1, :] for k in range(SUB)], axis=0
+        )
+        for c in USED
+    }
+
+
+def _fwd_kernel_blk(
+    smem_ref,  # (8,) int32 [seed, ...]
+    pix_ref,  # (SUB, LANES) int32
+    smp_ref,
+    valid_ref,
+    ox_ref, oy_ref, oz_ref,  # (SUB, LANES) f32 origin components
+    dx_ref, dy_ref, dz_ref,  # (SUB, LANES) f32 direction components
+    rec_ref,  # (depth*SUB, LANES) int32, tile-major packed records
+    table_ref,  # (N, 32) f32
+    rr_ref, rg_ref, rb_ref,  # OUT (SUB, LANES) f32
+    *,
+    depth: int,
+    accum_from: int,
+    n: int,
+):
+    seed = smem_ref[0]
+    pix = pix_ref[:, :]
+    smp = smp_ref[:, :]
+    thr0 = jnp.where(valid_ref[:, :] > 0, 1.0, 0.0)
+    carry0 = (
+        ox_ref[:, :], oy_ref[:, :], oz_ref[:, :],
+        dx_ref[:, :], dy_ref[:, :], dz_ref[:, :],
+        thr0, thr0, thr0,
+    )
+    table3 = _split3(table_ref[:, :])
+
+    def step(it, carry, accumulate):
+        word = rec_ref[pl.ds(it * SUB, SUB), :]
+        dec = _decode(word)
+        ch = _fetch_blk(table3, dec["idx"], n)
+        u1, u2, ud = _uniform3(pix, smp, STREAM_BOUNCE_BASE + it, seed)
+        return _bounce(carry, ch, dec, u1, u2, ud, accumulate)
+
+    carry = jax.lax.fori_loop(
+        0, accum_from,
+        lambda it, c: step(it, c, False)[0],
+        carry0,
+    ) if accum_from > 0 else carry0
+
+    zero = jnp.zeros((SUB, LANES), jnp.float32)
+
+    def acc_body(it, state):
+        carry, ar, ag, ab = state
+        carry, (dr, dg, db) = step(it, carry, True)
+        return (carry, ar + dr, ag + dg, ab + db)
+
+    _, ar, ag, ab = jax.lax.fori_loop(
+        accum_from, depth, acc_body, (carry, zero, zero, zero)
+    )
+    rr_ref[:, :] = ar
+    rg_ref[:, :] = ag
+    rb_ref[:, :] = ab
+
+
+def _bwd_kernel_blk(
+    smem_ref,
+    pix_ref,
+    smp_ref,
+    valid_ref,
+    ox_ref, oy_ref, oz_ref,
+    dx_ref, dy_ref, dz_ref,
+    rec_ref,
+    table_ref,
+    grr_ref, grg_ref, grb_ref,  # (SUB, LANES) incoming radiance cotangent
+    gtab_ref,  # OUT (N, 32) f32 — accumulated across the whole grid
+    gox_ref, goy_ref, goz_ref,  # OUT (SUB, LANES)
+    gdx_ref, gdy_ref, gdz_ref,  # OUT (SUB, LANES)
+    *scratch,  # 9 x VMEM (depth*SUB, LANES) carries + (depth*NUSE*SUB, LANES) chans
+    depth: int,
+    accum_from: int,
+    n: int,
+):
+    carry_scratch = scratch[:9]
+    ch_scratch = scratch[9]
+    seed = smem_ref[0]
+    pix = pix_ref[:, :]
+    smp = smp_ref[:, :]
+    thr0 = jnp.where(valid_ref[:, :] > 0, 1.0, 0.0)
+    carry0 = (
+        ox_ref[:, :], oy_ref[:, :], oz_ref[:, :],
+        dx_ref[:, :], dy_ref[:, :], dz_ref[:, :],
+        thr0, thr0, thr0,
+    )
+    table3 = _split3(table_ref[:, :])
+
+    def decode_at(it):
+        word = rec_ref[pl.ds(it * SUB, SUB), :]
+        dec = _decode(word)
+        u1, u2, ud = _uniform3(pix, smp, STREAM_BOUNCE_BASE + it, seed)
+        return dec, u1, u2, ud
+
+    # Phase 1: re-run the forward, checkpointing each bounce's ENTERING
+    # carry and its fetched channel blocks into VMEM scratch.
+    def fwd_body(it, carry):
+        for k in range(9):
+            carry_scratch[k][pl.ds(it * SUB, SUB), :] = carry[k]
+        dec, u1, u2, ud = decode_at(it)
+        ch = _fetch_blk(table3, dec["idx"], n)
+        for j, _c in enumerate(USED):
+            ch_scratch[pl.ds((it * NUSE + j) * SUB, SUB), :] = ch[_c]
+        carry, _ = _bounce(carry, ch, dec, u1, u2, ud, False)
+        return carry
+
+    jax.lax.fori_loop(0, depth, fwd_body, carry0)
+
+    # Phase 2: reverse sweep (identical structure to _bwd_kernel); the
+    # table cotangent disassembles the per-channel blocks back into
+    # per-sublane (32, LANES) rows and contracts each against its one-hot.
+    g_rad = (grr_ref[:, :], grg_ref[:, :], grb_ref[:, :])
+    zero = jnp.zeros((SUB, LANES), jnp.float32)
+    zero_rad = (zero, zero, zero)
+    g_carry0 = (zero,) * 9
+    gtab0 = jnp.zeros((n, C_IN), jnp.float32)
+    zrow = jnp.zeros((1, LANES), jnp.float32)
+
+    def bwd_step(it, g_carry, gtab, acc: bool):
+        dec, u1, u2, ud = decode_at(it)
+        ch = {
+            _c: ch_scratch[pl.ds((it * NUSE + j) * SUB, SUB), :]
+            for j, _c in enumerate(USED)
+        }
+        carry_in = tuple(
+            carry_scratch[k][pl.ds(it * SUB, SUB), :] for k in range(9)
+        )
+        f = lambda c, chv: _bounce(c, chv, dec, u1, u2, ud, acc)
+        _, vjp_f = jax.vjp(f, carry_in, ch)
+        g_in, g_ch = vjp_f((g_carry, g_rad if acc else zero_rad))
+        idx = dec["idx"]
+
+        def dot_tc(oh, gs):
+            return jax.lax.dot_general(
+                oh,
+                gs,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        for k in range(SUB):
+            ohb = _onehot_l(idx[k : k + 1, :], n).astype(jnp.bfloat16)
+            gs = jnp.concatenate(
+                [
+                    (g_ch[c][k : k + 1, :] if c in g_ch else zrow)
+                    for c in range(C_IN)
+                ],
+                axis=0,
+            )
+            ghi, gmid, glo = _split3(gs)
+            gtab = gtab + (
+                (dot_tc(ohb, ghi) + dot_tc(ohb, gmid)) + dot_tc(ohb, glo)
+            )
+        return g_in, gtab
+
+    def bwd_acc(i, state):
+        g_carry, gtab = state
+        return bwd_step(depth - 1 - i, g_carry, gtab, True)
+
+    g_carry, gtab = jax.lax.fori_loop(
+        0, depth - accum_from, bwd_acc, (g_carry0, gtab0)
+    )
+    if accum_from > 0:
+        def bwd_head(i, state):
+            g_carry, gtab = state
+            return bwd_step(accum_from - 1 - i, g_carry, gtab, False)
+
+        g_carry, gtab = jax.lax.fori_loop(
+            0, accum_from, bwd_head, (g_carry, gtab)
+        )
+
+    gox_ref[:, :] = g_carry[0]
+    goy_ref[:, :] = g_carry[1]
+    goz_ref[:, :] = g_carry[2]
+    gdx_ref[:, :] = g_carry[3]
+    gdy_ref[:, :] = g_carry[4]
+    gdz_ref[:, :] = g_carry[5]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        gtab_ref[:, :] = jnp.zeros_like(gtab_ref)
+
+    gtab_ref[:, :] = gtab_ref[:, :] + gtab
+
+
+@functools.lru_cache(maxsize=None)
+def _build_blk(depth: int, accum_from: int, n: int, interpret: bool):
+    """Cached custom_vjp callable for the lane-blocked layout."""
+
+    lane = pl.BlockSpec((SUB, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    std_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [lane] * 3  # pix, smp, valid
+        + [lane] * 6  # o / d components
+        + [
+            pl.BlockSpec(
+                (depth * SUB, LANES), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((n, C_IN), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    )
+
+    def fwd_call(table, comps, valid, pix, smp, rec, smem):
+        rows = pix.shape[0]  # = Gtot * SUB
+        grid = (rows // SUB,)
+        rr, rg, rb = pl.pallas_call(
+            functools.partial(
+                _fwd_kernel_blk, depth=depth, accum_from=accum_from, n=n
+            ),
+            grid=grid,
+            in_specs=std_specs,
+            out_specs=[lane, lane, lane],
+            out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 3,
+            interpret=interpret,
+        )(smem, pix, smp, valid, *comps, rec, table)
+        return jnp.stack(
+            [rr.reshape(-1), rg.reshape(-1), rb.reshape(-1)], axis=0
+        )
+
+    def bwd_call(table, comps, valid, pix, smp, rec, smem, g_rad):
+        rows = pix.shape[0]
+        grid = (rows // SUB,)
+        grr = g_rad[0].reshape(-1, LANES)
+        grg = g_rad[1].reshape(-1, LANES)
+        grb = g_rad[2].reshape(-1, LANES)
+        out = pl.pallas_call(
+            functools.partial(
+                _bwd_kernel_blk, depth=depth, accum_from=accum_from, n=n
+            ),
+            grid=grid,
+            in_specs=std_specs + [lane, lane, lane],
+            out_specs=[
+                pl.BlockSpec(
+                    (n, C_IN), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ]
+            + [lane] * 6,
+            out_shape=[jax.ShapeDtypeStruct((n, C_IN), jnp.float32)]
+            + [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 6,
+            scratch_shapes=[pltpu.VMEM((depth * SUB, LANES), jnp.float32)] * 9
+            + [pltpu.VMEM((depth * NUSE * SUB, LANES), jnp.float32)],
+            interpret=interpret,
+        )(smem, pix, smp, valid, *comps, rec, table, grr, grg, grb)
+        return out[0], tuple(out[1:7])
+
+    @jax.custom_vjp
+    def replay(table, comps, valid, pix, smp, rec, smem):
+        return fwd_call(table, comps, valid, pix, smp, rec, smem)
+
+    def replay_fwd(table, comps, valid, pix, smp, rec, smem):
+        rad = fwd_call(table, comps, valid, pix, smp, rec, smem)
+        return rad, (table, comps, valid, pix, smp, rec, smem)
+
+    def replay_bwd(res, g_rad):
+        table, comps, valid, pix, smp, rec, smem = res
+        gtab, gcomps = bwd_call(
+            table, comps, valid, pix, smp, rec, smem, g_rad
+        )
+        return gtab, gcomps, None, None, None, None, None
+
+    replay.defvjp(replay_fwd, replay_bwd)
+
+    @jax.custom_vjp
+    def replay_given(table, comps, valid, pix, smp, rec, smem, rad3):
+        return rad3
+
+    def replay_given_fwd(table, comps, valid, pix, smp, rec, smem, rad3):
+        return rad3, (table, comps, valid, pix, smp, rec, smem)
+
+    def replay_given_bwd(res, g_rad):
+        table, comps, valid, pix, smp, rec, smem = res
+        gtab, gcomps = bwd_call(
+            table, comps, valid, pix, smp, rec, smem, g_rad
+        )
+        return gtab, gcomps, None, None, None, None, None, None
+
+    replay_given.defvjp(replay_given_fwd, replay_given_bwd)
+    replay.given = replay_given
+    return replay
+
+
 def trace_replay_mega(
     table,  # (N, 32) f32 differentiable sphere table
     o,  # (R, 3) f32 ray origins (differentiable)
@@ -580,17 +932,25 @@ def trace_replay_mega(
     valid=None,  # (R,) bool initial-throughput mask (None = all live)
     interpret: bool = False,
     rad_given=None,  # (R, 3) precomputed forward radiance (fused record)
+    blocked=None,  # None = CRUCIBLE_REPLAY_BLOCKED (default on)
 ):
     """Differentiable in-kernel replay -> radiance (R, 3).
 
     Drop-in for the jnp trace_replay on eligible scenes (see `supported`):
     same records, same estimator, bit-matching per-lane radiance. The
     throughput always starts at the 0/1 ``valid`` mask (the bucketed
-    replay's thr_in contract — never a general float)."""
+    replay's thr_in contract — never a general float).
+
+    ``blocked`` selects the lane-blocked (SUB, LANES) layout (default via
+    CRUCIBLE_REPLAY_BLOCKED, on): same per-lane arithmetic, full-vreg
+    elementwise occupancy."""
+    if blocked is None:
+        blocked = _blocked_default()
     r = o.shape[0]
     depth = rec.shape[0]
     n = table.shape[0]
-    r_pad = ((r + TILE - 1) // TILE) * TILE
+    quantum = BTILE if blocked else TILE
+    r_pad = ((r + quantum - 1) // quantum) * quantum
 
     def pad2(x, fill=0):
         if r_pad == r:
@@ -599,23 +959,22 @@ def trace_replay_mega(
             [x, jnp.full((r_pad - r,) + x.shape[1:], fill, x.dtype)], axis=0
         )
 
-    pix = pad2(pixel_ids.astype(jnp.int32)).reshape(1, r_pad)
-    smp = pad2(sample_ids.astype(jnp.int32)).reshape(1, r_pad)
+    pix = pad2(pixel_ids.astype(jnp.int32))
+    smp = pad2(sample_ids.astype(jnp.int32))
     valid_i = (
         jnp.ones((r,), jnp.int32)
         if valid is None
         else valid.astype(jnp.int32)
     )
-    valid_i = pad2(valid_i).reshape(1, r_pad)
+    valid_i = pad2(valid_i)
     # Padding lanes carry a unit-z direction: their records are dead (all
     # gates closed -> exact zero radiance and cotangents) but the bounce
     # math must stay finite so no NaN leaks into the table gradient
     # through 0 * inf in the quadratic's backward.
-    o3 = pad2(o).T
+    opad = pad2(o)
     dpad = pad2(d)
     if r_pad != r:
         dpad = dpad.at[r:, 2].set(1.0)
-    d3 = dpad.T
     recp = (
         rec
         if r_pad == r
@@ -626,10 +985,45 @@ def trace_replay_mega(
     smem = jnp.zeros((8,), jnp.int32).at[0].set(
         jnp.asarray(seed, jnp.uint32).astype(jnp.int32)
     )
-    fn = _build(depth, int(accum_from), n, bool(interpret))
+    if blocked:
+        gtot = r_pad // BTILE
+        comps = tuple(
+            a[:, c].reshape(gtot * SUB, LANES)
+            for a, c in ((opad, 0), (opad, 1), (opad, 2),
+                         (dpad, 0), (dpad, 1), (dpad, 2))
+        )
+        # Records go tile-major so each grid step reads one contiguous
+        # (depth*SUB, LANES) block.
+        rec_t = (
+            recp.reshape(depth, gtot, SUB, LANES)
+            .transpose(1, 0, 2, 3)
+            .reshape(gtot * depth * SUB, LANES)
+        )
+        fn = _build_blk(depth, int(accum_from), n, bool(interpret))
+        args = (
+            table,
+            comps,
+            valid_i.reshape(gtot * SUB, LANES),
+            pix.reshape(gtot * SUB, LANES),
+            smp.reshape(gtot * SUB, LANES),
+            rec_t,
+            smem,
+        )
+    else:
+        fn = _build(depth, int(accum_from), n, bool(interpret))
+        args = (
+            table,
+            opad.T,
+            dpad.T,
+            valid_i.reshape(1, r_pad),
+            pix.reshape(1, r_pad),
+            smp.reshape(1, r_pad),
+            recp,
+            smem,
+        )
     if rad_given is not None:
         rad3 = pad2(jax.lax.stop_gradient(rad_given)).T
-        rad = fn.given(table, o3, d3, valid_i, pix, smp, recp, smem, rad3)
+        rad = fn.given(*args, rad3)
     else:
-        rad = fn(table, o3, d3, valid_i, pix, smp, recp, smem)
+        rad = fn(*args)
     return rad[:, :r].T

@@ -951,6 +951,44 @@ class TestReplayKernel:
             assert frac < cap, f"{name}: {frac:.4f} outlier fraction"
             assert float(nd.max()) < 0.1, f"{name}: max {nd.max():.4f}"
 
+    def test_blocked_matches_legacy_bitwise(self):
+        """The lane-blocked (SUB, LANES) layout is the same per-lane op
+        sequence as the legacy (1, TILE) rows — radiance must be
+        BIT-identical; table cotangents differ only in reduction order
+        (per-sublane one-hot contractions sum in a different sequence)."""
+        from crucible_tpu.ops.pallas import replay_kernel as rk
+
+        sd, table, o, d, pix, smp, seed, rec = self._setup(
+            depth=6, r=1024 + 128
+        )
+        a = np.asarray(
+            rk.trace_replay_mega(
+                table, o, d, pix, smp, seed, rec,
+                interpret=True, blocked=False,
+            )
+        )
+        b = np.asarray(
+            rk.trace_replay_mega(
+                table, o, d, pix, smp, seed, rec,
+                interpret=True, blocked=True,
+            )
+        )
+        np.testing.assert_array_equal(a, b)
+
+        def loss(t, blocked):
+            return jnp.sum(
+                rk.trace_replay_mega(
+                    t, o, d, pix, smp, seed, rec,
+                    interpret=True, blocked=blocked,
+                )
+            )
+
+        ga = np.asarray(jax.grad(lambda t: loss(t, False))(table))
+        gb = np.asarray(jax.grad(lambda t: loss(t, True))(table))
+        assert np.isfinite(gb).all()
+        scale = max(float(np.abs(ga).max()), 1e-6)
+        np.testing.assert_allclose(gb / scale, ga / scale, rtol=0, atol=1e-5)
+
     def test_accum_from_and_valid_mask(self):
         """Bucket semantics: head rows below accum_from update the carry
         only; invalid lanes replay to exactly zero (value AND cotangent)."""

@@ -1340,6 +1340,144 @@ def replayprof(w=1920, h=1080, spp=4, depth=8):
     os.environ.pop("CRUCIBLE_REPLAY_KERNEL", None)
 
 
+def blockedab(w=1920, h=1080, spp=4, depth=8):
+    """On-chip A/B of the lane-blocked replay-kernel layout (r5 final):
+    (1) does Mosaic lower the blocked kernels, (2) blocked radiance vs the
+    legacy layout (same per-lane op sequence — expect bit-identical or
+    ulp-level), (3) kernel fwd / bwd timings both layouts, (4) the
+    production d8 minibatch + d50 chunk through loss_and_grad with
+    CRUCIBLE_REPLAY_BLOCKED on/off."""
+    import os
+
+    from crucible_tpu import grad as G
+    from crucible_tpu.models import demo, replay, integrator
+    from crucible_tpu.models.camera import generate_rays
+    from crucible_tpu.ops.pallas import replay_kernel as rk
+
+    sc = demo.book1_end_scene(width=400)
+    sd = sc.build()
+    cp = sc.scene_cam.params()
+    params = G.extract_params(sd, cp)
+    seed = jnp.uint32(1)
+
+    # --- correctness at a small config ------------------------------------
+    w0, h0, d0 = 192, 108, 8
+    r0 = w0 * h0
+    pix0 = jnp.arange(r0, dtype=jnp.uint32)
+    smp0 = jnp.zeros((r0,), jnp.uint32)
+    o0, dd0, _ = generate_rays(cp, w0, h0, pix0, smp0, seed)
+    rec0 = replay.trace_record_mega(sd, cp, w0, h0, pix0, smp0, seed, d0)
+    table = integrator.make_sphere_table(sd)
+    vals = {}
+    for blocked in (False, True):
+        vals[blocked] = np.asarray(
+            jax.jit(
+                lambda b=blocked: rk.trace_replay_mega(
+                    table, o0, dd0, pix0, smp0, seed, rec0, blocked=b
+                )
+            )()
+        )
+    diff = np.abs(vals[True] - vals[False])
+    log(
+        bench="blockedab_fwd_check",
+        bit_identical=bool((vals[True] == vals[False]).all()),
+        max_absdiff=float(diff.max()),
+        finite=bool(np.isfinite(vals[True]).all()),
+    )
+    gv = {}
+    for blocked in (False, True):
+        gv[blocked] = np.asarray(
+            jax.jit(
+                jax.grad(
+                    lambda t, b=blocked: jnp.sum(
+                        rk.trace_replay_mega(
+                            t, o0, dd0, pix0, smp0, seed, rec0, blocked=b
+                        )
+                    )
+                )
+            )(table)
+        )
+    scale = max(float(np.abs(gv[False]).max()), 1e-6)
+    log(
+        bench="blockedab_grad_check",
+        norm_maxdiff=float(np.abs(gv[True] - gv[False]).max() / scale),
+        finite=bool(np.isfinite(gv[True]).all()),
+    )
+
+    # --- kernel-only timings at the minibatch config ----------------------
+    rays = w * h * spp
+    pix = jnp.tile(jnp.arange(w * h, dtype=jnp.uint32), spp)
+    smp = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), w * h)
+    rec = replay.trace_record_mega(sd, cp, w, h, pix, smp, seed, depth)
+    o, d, _ = generate_rays(cp, w, h, pix, smp, seed)
+    o = jax.block_until_ready(o)
+
+    def timeit(name, fn, *args, n=3):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(n):
+            out = fn(*args)
+        x = jax.tree_util.tree_leaves(out)[0]
+        float(np.asarray(x[(0,) * x.ndim] if x.ndim else x))
+        dt = (time.time() - t0) / n
+        log(bench=f"blockedab_{name}", seconds=round(dt, 3),
+            mrays_per_s=round(rays / dt / 1e6, 2))
+
+    for blocked in (False, True):
+        tag = "blk" if blocked else "leg"
+        kf = jax.jit(
+            lambda t, o_, d_, p_, s_, rec_, b=blocked: rk.trace_replay_mega(
+                t, o_, d_, p_, s_, seed, rec_, blocked=b
+            )
+        )
+        timeit(f"kernel_fwd_{tag}", kf, table, o, d, pix, smp, rec)
+        kg = jax.jit(
+            jax.grad(
+                lambda t, o_, d_, p_, s_, rec_, b=blocked: jnp.sum(
+                    rk.trace_replay_mega(
+                        t, o_, d_, p_, s_, seed, rec_, blocked=b
+                    )
+                )
+            )
+        )
+        timeit(f"kernel_bwd_{tag}", kg, table, o, d, pix, smp, rec)
+
+    # --- production steps through loss_and_grad ---------------------------
+    def time_step(w_, h_, spp_, depth_, steps=3):
+        pix_t = jnp.arange(w_ * h_, dtype=jnp.uint32)
+        tgt = jnp.zeros((w_ * h_, 3), jnp.float32)
+        kw = dict(width=w_, height=h_, spp=spp_, max_depth=depth_)
+        loss, g = G.loss_and_grad(
+            params, sd, cp, tgt, pix_t, jnp.uint32(0), **kw
+        )
+        jax.block_until_ready(g)
+        t0 = time.time()
+        for i in range(steps):
+            loss, g = G.loss_and_grad(
+                params, sd, cp, tgt, pix_t, jnp.uint32(1 + i), **kw
+            )
+        float(loss)  # forced D2H ends the window (CLAUDE.md)
+        return (time.time() - t0) / steps
+
+    for mode in ("0", "1"):
+        os.environ["CRUCIBLE_REPLAY_BLOCKED"] = mode
+        jax.clear_caches()
+        dt = time_step(1920, 1080, 4, 8)
+        log(
+            bench=f"blockedab_d8_step_blocked{mode}",
+            seconds=round(dt, 3),
+            mrays_per_s=round(1920 * 1080 * 4 / dt / 1e6, 3),
+        )
+        dt = time_step(1920, 1080, 4, 50)
+        log(
+            bench=f"blockedab_d50_chunk_blocked{mode}",
+            seconds=round(dt, 3),
+            mrays_per_s=round(1920 * 1080 * 4 / dt / 1e6, 3),
+        )
+    os.environ.pop("CRUCIBLE_REPLAY_BLOCKED", None)
+
+
 def deepsweep(w=1920, h=1080, depth=50):
     """Re-sweep the deep-chunk bucket spec with the in-Pallas replay
     kernel on: the kernel changes the record-vs-replay trade (narrow
@@ -1418,4 +1556,5 @@ if __name__ == "__main__":
         "teapot1": teapot1, "mxufetch": mxufetch, "nestedx": nestedx,
         "mxurec": mxurec, "replaykernel": replaykernel,
         "replayprof": replayprof, "gradcheck": gradcheck, "deepsweep": deepsweep,
+        "blockedab": blockedab,
     }[mode]()
