@@ -419,7 +419,11 @@ def make_sphere_table(sd: SceneData):
         jnp.sum(sd.sph_center * cd, -1) - sd.sph_radius * rd,  # s1
         jnp.sum(cd * cd, -1) - rd * rd,  # s2
         tid.astype(jnp.float32),  # 30: texture id (replay image lookups)
-        zeros,
+        # 31: original row id (exact in f32 for ids < 2^24 >> REC_MAX_IDS).
+        # Structure-walk record passes fetch it through the winner fetch to
+        # DE-PERMUTE ids from the BVH/cluster-permuted table, keeping
+        # records bit-compatible with the brute/staged passes.
+        jnp.arange(n, dtype=jnp.float32),
     ]
     return jnp.stack(cols, axis=1)
 
@@ -712,11 +716,22 @@ def megakernel_record_supported(sd: SceneData, cp) -> bool:
     evaluation."""
     from crucible_tpu.ops.pallas.megakernel import MAX_TRI_NODES
 
+    from crucible_tpu.models.render import MEGA_MAX_BRUTE_ROWS
+
     tris_ok = sd.num_tris == 0 or (
         sd.use_bvh and sd.bvh_min.shape[0] <= MAX_TRI_NODES
     )
+    # Big sphere tables need a structure walk (sphere BVH / cluster cull,
+    # built at scene build — sd.sph_perm): the brute (N, T) candidate
+    # buffers exceed scoped VMEM past ~4k rows. Without one (structure
+    # build disabled or all spheres hidden), route to the staged record.
+    rows_ok = (
+        int(sd.sph_center.shape[0]) <= MEGA_MAX_BRUTE_ROWS
+        or sd.sph_perm is not None
+    )
     return (
         tris_ok
+        and rows_ok
         and not sd.motion_exact
         and not getattr(cp, "motion_exact", False)
     )

@@ -270,6 +270,17 @@ def trace_record_mega(
         ]
     )
     table = integrator.make_sphere_table(sd)
+    cbounds = sph_nodes = sph_meta = None
+    if sd.sph_perm is not None:
+        # Structure-walk record (r5 final): permute the table into BVH-leaf
+        # (static) or cluster (animated) order; the kernel de-permutes the
+        # winner id through the table's id column so the streamed records
+        # hold ORIGINAL ids — bit-compatible with trace_record.
+        n_struct = sd.sph_perm.shape[0]
+        if n_struct > table.shape[0]:
+            table = jnp.pad(table, ((0, n_struct - table.shape[0]), (0, 0)))
+        table = jnp.take(table, sd.sph_perm, axis=0)
+        sph_nodes, sph_meta, cbounds = sd.sph_nodes, sd.sph_meta, sd.sph_cbounds
     if sd.num_tris > 0:
         tri_nodes, tris, mats, tri_meta = integrator.make_tri_tables(sd)
     else:
@@ -284,10 +295,14 @@ def trace_record_mega(
         tris,
         mats,
         tri_meta,
+        cbounds,
+        sph_nodes,
+        sph_meta,
         max_depth=int(max_depth),
         animated=bool(sd.animated),
         cam_animated=bool(cp.animated),
         tri_leaf=sd.bvh_leaf_size,
+        sph_leaf=mk.SPH_LEAF,
         interpret=interpret,
         radiance=radiance,
     )

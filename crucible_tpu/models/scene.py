@@ -274,6 +274,17 @@ class SceneData:
     motion_t0: jnp.ndarray = None  # () shutter-open absolute time
     motion_t1: jnp.ndarray = None  # () shutter-close
 
+    # Sphere acceleration tables for structure-walk RECORD passes (r5
+    # final; megakernel.sphere_bvh_tables / cluster_spheres): host-built at
+    # scene build when the padded sphere table exceeds the forward path's
+    # cull crossover (render.CULL_MIN_ROWS). The permuted table's id column
+    # (31) de-permutes winner ids in-kernel, so records stay bit-compatible
+    # with the brute/staged record passes (tests/test_replay.py).
+    sph_perm: jnp.ndarray = None  # (N_struct,) int32 permutation
+    sph_nodes: jnp.ndarray = None  # (K, 16) f32 BVH slab boxes (static)
+    sph_meta: jnp.ndarray = None  # (3*(K+W),) int32 BVH metadata (static)
+    sph_cbounds: jnp.ndarray = None  # (K, 8) f32 cluster AABBs (animated)
+
     # --- static metadata ---------------------------------------------------
     sky_kind: int = struct.field(pytree_node=False, default=sky_mod.DEFAULT)
     num_spheres: int = struct.field(pytree_node=False, default=0)
@@ -962,6 +973,49 @@ class Scene:
                 motion_t1=jnp.asarray(t_close, jnp.float32),
             )
 
+        # --- sphere structure tables for record-mode walks (r5 final) -------
+        # Same crossover + structure choice as the forward render
+        # (render.py: sphere BVH for static scenes, motion-unioned cluster
+        # chunks for animated). Built here (host-side, geometry concrete)
+        # so record passes under jit can consume them as pytree leaves.
+        sph_struct = {}
+        struct_min = _os.environ.get("CRUCIBLE_RECORD_STRUCT_MIN")
+        if struct_min is None:
+            from crucible_tpu.models.render import CULL_MIN_ROWS
+
+            struct_min = CULL_MIN_ROWS
+        else:
+            struct_min = int(struct_min)
+        if n_pad > struct_min and bool(sph_active.any()):
+            from crucible_tpu.ops.pallas import megakernel as mk
+
+            use_sbvh = not animated and _os.environ.get(
+                "CRUCIBLE_SPHERE_BVH", "1"
+            ).lower() not in ("0", "false", "off")
+            if use_sbvh:
+                perm_s, snodes, smeta = mk.sphere_bvh_tables(
+                    sph_center, sph_radius, sph_active
+                )
+                sph_struct = dict(
+                    sph_perm=jnp.asarray(perm_s),
+                    sph_nodes=jnp.asarray(snodes),
+                    sph_meta=jnp.asarray(smeta),
+                )
+            else:
+                perm_s, cbounds = mk.cluster_spheres(
+                    sph_center, sph_radius, sph_active,
+                    center_d=(
+                        (sph_center_b - sph_center) if animated else None
+                    ),
+                    radius_d=(
+                        (sph_radius_b - sph_radius) if animated else None
+                    ),
+                )
+                sph_struct = dict(
+                    sph_perm=jnp.asarray(perm_s),
+                    sph_cbounds=jnp.asarray(cbounds),
+                )
+
         if not tables.mat_rows:  # empty scene still needs one material row
             tables.material(Lambertian.from_color((0.5, 0.5, 0.5)))
 
@@ -1009,6 +1063,7 @@ class Scene:
             motion_exact=motion_exact,
             tri_exact=tri_exact and m > 0,
             **track_fields,
+            **sph_struct,
         )
         self._cache = sd
         self._cache_key = key

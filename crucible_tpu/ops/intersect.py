@@ -28,6 +28,8 @@ import numpy as np
 # Plain NumPy so importing never initializes a JAX backend.
 BIG = np.float32(3.0e38)  # sentinel "no hit" distance (finite to keep grads clean)
 MT_EPS = 1e-8
+# Largest sphere table the fused Pallas hit kernel takes (see hit_spheres).
+PALLAS_HIT_MAX_ROWS = 2048
 
 
 def hit_spheres(o, d, centers, radii, active, t_min, t_max):
@@ -71,6 +73,11 @@ def hit_spheres(o, d, centers, radii, active, t_min, t_max):
         and math.isinf(t_max)
         and o.shape[0] % 512 == 0
         and centers.shape[0] % 8 == 0
+        # The fused kernel materializes ~4 (N, 512) f32 intermediates in
+        # scoped VMEM: 1936 rows measured at the ~16 MB limit, 7744 OOM'd
+        # 66 MB (tools/tpu_results.jsonl structrec, r5 final). Large tables
+        # take the jnp (R, N) path, which XLA tiles freely.
+        and centers.shape[0] <= PALLAS_HIT_MAX_ROWS
         and backend.on_accelerator()
     )
     return _closest_hit(

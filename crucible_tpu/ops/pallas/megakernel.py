@@ -437,6 +437,11 @@ def _kernel(
         attr_cols = [0, 1, 2, 3] + list(range(6, 24)) + (
             [24, 25, 26, 27] if animated else []
         )
+    if rec_depth and (n_sph_nodes or n_chunks):
+        # Structure walks run over the PERMUTED table — fetch the winner's
+        # original row id (column 31) to de-permute the recorded id, so
+        # records stay bit-compatible with the brute/staged passes.
+        attr_cols = attr_cols + [31]
 
     def uniform4(smp, stream):
         x, y, z, w = _pcg4d(pix, smp, jnp.broadcast_to(stream, pix.shape),
@@ -1458,12 +1463,18 @@ def _kernel(
             root1_bit = ~(r_root0 > t_min)
 
             hit_rec = alive & hit
+            if n_sph_nodes or n_chunks:
+                # De-permuted original id from the winner fetch (col 31 —
+                # exact integers through the bit-exact one-hot fetch).
+                sph_win = attrs[31].astype(jnp.int32)
+            else:
+                sph_win = idx
             if n_tri_nodes:
                 is_tri_rec = is_tri
-                win_id = jnp.where(is_tri, ttid.astype(jnp.int32), idx)
+                win_id = jnp.where(is_tri, ttid.astype(jnp.int32), sph_win)
             else:
                 is_tri_rec = hit_rec & ~hit_rec  # constant-false i1 vector
-                win_id = idx
+                win_id = sph_win
 
             def _bits(b, m):
                 return jnp.where(b, jnp.int32(m), jnp.int32(0))
@@ -1478,6 +1489,13 @@ def _kernel(
                 | _bits(degenerate, 64)
                 | _bits(root1_bit & ~is_tri_rec, 128)
             )
+            # Non-hit lanes keep only the alive bit: the hit-side bits
+            # (front/refl/degen/root1) are junk there — never read by the
+            # replay (all gated on hit/cont) and dependent on WHICH
+            # intersection path ran (brute keeps intersecting dead lanes'
+            # stale rays; the structure walks mask them out) — masking
+            # makes records bit-identical across brute/BVH/cull paths.
+            flags_rec = jnp.where(hit_rec, flags_rec, flags_rec & jnp.int32(1))
             # ONE packed int32 per (bounce, lane): winner id in bits 8..30
             # (ids < 2^23 keep the word non-negative), flag byte in bits
             # 0..7 — halves record traffic vs two words (VERDICT r2 #2).
@@ -1683,8 +1701,8 @@ def run_megakernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "max_depth", "animated", "cam_animated", "tri_leaf", "t_min",
-        "interpret", "radiance",
+        "max_depth", "animated", "cam_animated", "tri_leaf", "sph_leaf",
+        "t_min", "interpret", "radiance",
     ),
 )
 def run_megakernel_record(
@@ -1692,16 +1710,21 @@ def run_megakernel_record(
     pix,  # (1, R) int32 pixel id per LANE (one (pixel, sample) path each)
     sample0,  # (1, R) int32 sample id per lane (2^30 for padding lanes)
     cam,  # (1, CAM_SIZE) f32
-    table,  # (N, C_IN) f32 sphere attribute table
+    table,  # (N, C_IN) f32 sphere attribute table (PERMUTED when a
+    #          structure is given — ids de-permute via column 31)
     tri_nodes=None,
     tris=None,
     mats=None,
     tri_meta=None,
+    cbounds=None,  # (K, 8) f32 cluster AABBs (animated big scenes)
+    sph_nodes=None,  # (K, 16) f32 sphere-BVH boxes (static big scenes)
+    sph_meta=None,  # (3*(K+W),) i32 sphere-BVH metadata
     *,
     max_depth: int,  # STATIC here — sizes the record buffers
     animated: bool,
     cam_animated: bool = False,
     tri_leaf: int = 4,
+    sph_leaf: int = 64,
     t_min=1.0e-3,
     interpret: bool = False,
     radiance: bool = False,
@@ -1716,7 +1739,13 @@ def run_megakernel_record(
     lane's forward radiance, saving the gradient path its separate
     replay-forward dispatch (r5); rec (D, R) int32 packed records,
     bit-compatible with trace_record either way).
-    Cluster culling is not supported here (records hold UNPERMUTED ids).
+
+    Big sphere tables (r5 final): pass the forward path's structures —
+    ``sph_nodes``/``sph_meta`` (per-lane sphere BVH, static scenes) or
+    ``cbounds`` (chunk-cond cull, animated) — with the PERMUTED table; the
+    kernel fetches the winner's original id (column 31) so the streamed
+    records hold UNPERMUTED ids, bit-compatible with trace_record. Without
+    a structure the brute (N, T) quadratic caps at ~4k rows (VMEM).
     """
     r = pix.shape[1]
     n = table.shape[0]
@@ -1724,8 +1753,37 @@ def run_megakernel_record(
     assert table.shape[1] == C_IN and cam.shape == (1, CAM_SIZE)
     n_tri_nodes = 0
     n_mats = 0
+    n_chunks = 0
+    n_sph_nodes = 0
     extra_in = []
     extra_specs = []
+    if cbounds is not None:
+        assert sph_nodes is None, "sphere BVH replaces chunk culling"
+        n_chunks = cbounds.shape[0]
+        assert n_chunks * CLUSTER == n, (n_chunks, n)
+        extra_in.append(cbounds)
+        extra_specs.append(
+            pl.BlockSpec((n_chunks, 8), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+    if sph_nodes is not None:
+        n_sph_nodes = sph_nodes.shape[0]
+        if n_sph_nodes > MAX_TRI_NODES:
+            raise ValueError(
+                f"sphere BVH has {n_sph_nodes} nodes > MAX_TRI_NODES="
+                f"{MAX_TRI_NODES} (sph_meta would exceed TPU SMEM); raise "
+                f"CRUCIBLE_SPH_LEAF"
+            )
+        assert n % CLUSTER == 0, (n, CLUSTER)
+        assert sph_meta.shape == (3 * (n_sph_nodes + NODE_WIN),)
+        extra_in += [_pad_tri_nodes(sph_nodes), sph_meta]
+        extra_specs += [
+            pl.BlockSpec(
+                (n_sph_nodes + NODE_WIN, 16),
+                lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
     if tri_nodes is not None:
         n_tri_nodes = tri_nodes.shape[0]
         if n_tri_nodes > MAX_TRI_NODES:
@@ -1758,11 +1816,13 @@ def run_megakernel_record(
 
     kernel = functools.partial(
         _kernel, animated=animated, t_min=np.float32(t_min),
-        n_chunks=0, cam_animated=cam_animated,
+        n_chunks=n_chunks, cam_animated=cam_animated,
         n_tri_nodes=n_tri_nodes, tri_leaf=tri_leaf, n_mats=n_mats,
         rec_depth=max_depth,
         tri_moving=bool(tri_nodes is not None and tris.shape[1] == 32),
         rec_radiance=radiance,
+        n_sph_nodes=n_sph_nodes,
+        sph_leaf=sph_leaf,
     )
     grid = (r // TILE,)
     acc, rec = pl.pallas_call(

@@ -83,6 +83,11 @@ def _blocked_default() -> bool:
 
 def supported(sd, n_rows: int) -> bool:
     """Static predicate: can this scene's replay run in-kernel?"""
+    import os
+
+    max_rows = int(
+        os.environ.get("CRUCIBLE_REPLAY_KERNEL_ROWS", MAX_TABLE_ROWS)
+    )
     return (
         sd.num_tris == 0
         and not sd.animated
@@ -90,7 +95,7 @@ def supported(sd, n_rows: int) -> bool:
         and len(sd.tex.images) == 0
         and sd.tex.max_nest <= 1
         and sd.sky_kind == 0  # default-gradient sky only
-        and n_rows <= MAX_TABLE_ROWS
+        and n_rows <= max_rows
     )
 
 

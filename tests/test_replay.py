@@ -831,6 +831,83 @@ class TestTailOverflowGuard:
         )
 
 
+class TestStructureRecord:
+    """Structure-walk record passes (r5 final): scenes whose padded sphere
+    table exceeds the forward cull crossover build a sphere BVH (static)
+    or motion-unioned cluster chunks (animated) at scene build
+    (SceneData.sph_perm/...); the record kernel walks the PERMUTED table
+    and de-permutes winner ids through the table's id column (31), so
+    records are BIT-identical to the brute record kernel — which keeps
+    deep gradients available on multi-thousand-sphere scenes where the
+    brute (N, T) quadratic exceeds VMEM."""
+
+    def _scene(self, animated):
+        sc = demo.book1_end_scene(width=32)
+        if animated:
+            from crucible_tpu.models.timeline import LERP, WORLD
+
+            sc.translate_x(0.6, 1.0, LERP, WORLD, "large_dielectric")
+            sc.scene_cam.frame = 6
+        return sc
+
+    @pytest.mark.parametrize("animated", [False, True])
+    def test_structure_records_bit_match_brute(self, animated, monkeypatch):
+        sd0 = self._scene(animated).build()
+        monkeypatch.setenv("CRUCIBLE_RECORD_STRUCT_MIN", "64")
+        sc1 = self._scene(animated)
+        sd1 = sc1.build()
+        assert sd0.sph_perm is None and sd1.sph_perm is not None
+        if animated:
+            assert sd1.sph_cbounds is not None and sd1.sph_nodes is None
+        else:
+            assert sd1.sph_nodes is not None and sd1.sph_cbounds is None
+        cp = sc1.scene_cam.params()
+        w, h = 32, sc1.scene_cam.image_height
+        r = 1024
+        pix = jnp.arange(r, dtype=jnp.uint32) % (w * h)
+        smp = jnp.zeros((r,), jnp.uint32)
+        seed = jnp.uint32(7)
+        brute = np.asarray(
+            replay_mod.trace_record_mega(
+                sd0, cp, w, h, pix, smp, seed, 6, interpret=True
+            )
+        )
+        struct = np.asarray(
+            replay_mod.trace_record_mega(
+                sd1, cp, w, h, pix, smp, seed, 6, interpret=True
+            )
+        )
+        np.testing.assert_array_equal(brute, struct)
+        # Fused record+radiance through the structure path too.
+        rec_f, rad_f = replay_mod.trace_record_mega(
+            sd1, cp, w, h, pix, smp, seed, 6, interpret=True, radiance=True
+        )
+        np.testing.assert_array_equal(np.asarray(rec_f), brute)
+        _, rad_b = replay_mod.trace_record_mega(
+            sd0, cp, w, h, pix, smp, seed, 6, interpret=True, radiance=True
+        )
+        np.testing.assert_array_equal(np.asarray(rad_f), np.asarray(rad_b))
+
+    def test_big_brute_without_structure_routes_staged(self, monkeypatch):
+        """A sphere table past the brute VMEM cap with no structure built
+        (e.g. structure build disabled) must NOT claim mega-record support
+        — it routes to the staged record instead of OOMing the kernel."""
+        from crucible_tpu.models import render as render_mod
+
+        sd = self._scene(False).build()
+        assert sd.sph_perm is None
+        monkeypatch.setattr(render_mod, "MEGA_MAX_BRUTE_ROWS", 64)
+        assert not integrator.megakernel_record_supported(
+            sd, self._scene(False).scene_cam.params()
+        )
+        monkeypatch.setenv("CRUCIBLE_RECORD_STRUCT_MIN", "64")
+        sd2 = self._scene(False).build()
+        assert sd2.sph_perm is not None
+        assert integrator.megakernel_record_supported(
+            sd2, self._scene(False).scene_cam.params()
+        )
+
+
 class TestReplayKernel:
     """In-Pallas replay step (ops/pallas/replay_kernel.py): the r5
     deep-gradient lever. Forward radiance must match the jnp replay (to

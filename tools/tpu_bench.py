@@ -1478,6 +1478,96 @@ def blockedab(w=1920, h=1080, spp=4, depth=8):
     os.environ.pop("CRUCIBLE_REPLAY_BLOCKED", None)
 
 
+def structrec(width=400, spp=4, depth=8):
+    """On-chip probe of the STRUCTURE-WALK record passes (r5 final):
+    sphere_stress at 1936 rows (sphere BVH record vs the old brute) and
+    7744 rows (previously record-INFEASIBLE — brute (N,T) exceeds VMEM).
+    Measures the record pass, checks records against the staged oracle on
+    a lane subset, and runs a full gradient minibatch step (the first
+    on-chip deep-gradient evidence on a multi-thousand-sphere scene)."""
+    from crucible_tpu import grad as G
+    from crucible_tpu.models import demo, replay
+    from crucible_tpu.models.camera import generate_rays
+
+    for copies, tag in ((4, "n1936"), (16, "n7744")):
+        sc = demo.sphere_stress(width=width, copies=copies)
+        sd = sc.build()
+        cp = sc.scene_cam.params()
+        w, hh = width, sc.scene_cam.image_height
+        rays = w * hh * spp
+        pix = jnp.tile(jnp.arange(w * hh, dtype=jnp.uint32), spp)
+        smp = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), w * hh)
+        seed = jnp.uint32(1)
+        struct = (
+            "bvh" if sd.sph_nodes is not None
+            else ("cull" if sd.sph_cbounds is not None else "none")
+        )
+        log(bench=f"structrec_{tag}_built",
+            rows=int(sd.sph_center.shape[0]), struct=struct)
+
+        rec_f = jax.jit(
+            lambda sd_, cp_: replay.trace_record_mega(
+                sd_, cp_, w, hh, pix, smp, seed, depth
+            )
+        )
+        rec = rec_f(sd, cp)
+        jax.block_until_ready(rec)
+        t0 = time.time()
+        for _ in range(3):
+            rec = rec_f(sd, cp)
+        int(np.asarray(rec[0, 0]))
+        dt = (time.time() - t0) / 3
+        log(bench=f"structrec_{tag}_record", seconds=round(dt, 3),
+            mrays_per_s=round(rays / dt / 1e6, 2))
+
+        # Records vs the staged oracle on an 8k-lane subset (the staged
+        # (R, N) intersection is too heavy at full width here).
+        r_sub = 8192
+        pix_s, smp_s = pix[:r_sub], smp[:r_sub]
+        o_s, d_s, _ = generate_rays(cp, w, hh, pix_s, smp_s, seed)
+        rec_s = np.asarray(
+            jax.jit(
+                lambda: replay.trace_record(
+                    sd, o_s, d_s, pix_s, smp_s, seed, depth
+                )
+            )()
+        )
+        rec_m = np.asarray(rec[:, :r_sub])
+        ess = replay.F_ALIVE | replay.F_HIT | replay.F_SCAT
+        ess_match = float(((rec_s & ess) == (rec_m & ess)).mean())
+        hit_both = ((rec_s & rec_m) & replay.F_HIT) > 0
+        id_match = float(
+            ((rec_s >> 8)[hit_both] == (rec_m >> 8)[hit_both]).mean()
+        )
+        log(bench=f"structrec_{tag}_check",
+            ess_match=round(ess_match, 5), id_match=round(id_match, 5))
+
+        # Full gradient minibatch step through loss_and_grad.
+        params = G.extract_params(sd, cp)
+        tgt = jnp.zeros((w * hh, 3), jnp.float32)
+        pix_t = jnp.arange(w * hh, dtype=jnp.uint32)
+        kw = dict(width=w, height=hh, spp=spp, max_depth=depth)
+        try:
+            loss, g = G.loss_and_grad(
+                params, sd, cp, tgt, pix_t, jnp.uint32(0), **kw
+            )
+            finite = all(
+                bool(np.isfinite(np.asarray(x)).all())
+                for x in jax.tree_util.tree_leaves(g)
+            )
+            t0 = time.time()
+            for i in range(3):
+                loss, g = G.loss_and_grad(
+                    params, sd, cp, tgt, pix_t, jnp.uint32(1 + i), **kw
+                )
+            float(loss)
+            dt = (time.time() - t0) / 3
+            log(bench=f"structrec_{tag}_grad_step", seconds=round(dt, 3),
+                mrays_per_s=round(rays / dt / 1e6, 3), finite=finite)
+        except Exception as e:  # noqa: BLE001 — probe records the failure
+            log(bench=f"structrec_{tag}_grad_step", error=str(e)[:200])
+
+
 def deepsweep(w=1920, h=1080, depth=50):
     """Re-sweep the deep-chunk bucket spec with the in-Pallas replay
     kernel on: the kernel changes the record-vs-replay trade (narrow
@@ -1556,5 +1646,5 @@ if __name__ == "__main__":
         "teapot1": teapot1, "mxufetch": mxufetch, "nestedx": nestedx,
         "mxurec": mxurec, "replaykernel": replaykernel,
         "replayprof": replayprof, "gradcheck": gradcheck, "deepsweep": deepsweep,
-        "blockedab": blockedab,
+        "blockedab": blockedab, "structrec": structrec,
     }[mode]()
